@@ -1,0 +1,85 @@
+"""Vectorized pandas/Arrow UDFs — the only Python in the hot path.
+
+Each UDF wraps a canonical pure function from ``textproc.py`` (the
+byte-identical contract) in an Arrow-batched pandas UDF.  Models
+(unigram LM) are built lazily once per executor process via a
+module-level singleton — the reference's channel-map-per-decoder
+pattern (``dataframe_creator.py:32-116``) re-expressed as broadcast-free
+deterministic state.
+
+No per-row Spark UDFs (``F.udf``) anywhere (BASELINE input_hint).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dqmtools_spark.functions import textproc
+
+# ---------------------------------------------------------------- extract
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """HTML bytes -> extracted text (byte-identical per url)."""
+    return html.map(textproc.extract_text)
+
+
+# ---------------------------------------------------------------- langid
+
+
+@F.pandas_udf(T.StringType())
+def langid_udf(text: pd.Series) -> pd.Series:
+    """Deterministic marker-based language ID (fastText stand-in)."""
+    return text.map(textproc.predict_lang)
+
+
+# ---------------------------------------------------------------- perplexity
+
+_MODEL_CACHE: dict[str, object] = {}
+
+
+def _get_lm() -> tuple[dict[str, float], float]:
+    if "lm" not in _MODEL_CACHE:
+        _MODEL_CACHE["lm"] = textproc.lm_and_oov()
+    return _MODEL_CACHE["lm"]  # type: ignore[return-value]
+
+
+@F.pandas_udf(T.DoubleType())
+def perplexity_udf(text: pd.Series) -> pd.Series:
+    """KenLM-style per-token perplexity from the deterministic unigram LM."""
+    model, oov = _get_lm()
+    return text.map(lambda t: textproc.perplexity(t, model, oov))
+
+
+# ---------------------------------------------------------------- scrub
+
+_SCRUB_SCHEMA = T.StructType(
+    [T.StructField("scrubbed_text", T.StringType())]
+    + [T.StructField(f"hits_{k}", T.LongType()) for k in textproc.SCRUB_KINDS]
+)
+
+
+@F.pandas_udf(_SCRUB_SCHEMA)
+def scrub_udf(text: pd.Series) -> pd.DataFrame:
+    """PII/toxicity scrub -> (scrubbed_text, per-kind hit counts)."""
+    scrubbed, counters = [], {k: [] for k in textproc.SCRUB_KINDS}
+    for t in text:
+        out, hits = textproc.scrub_text(t)
+        scrubbed.append(out)
+        for k in textproc.SCRUB_KINDS:
+            counters[k].append(hits[k])
+    data = {"scrubbed_text": scrubbed}
+    data.update({f"hits_{k}": v for k, v in counters.items()})
+    return pd.DataFrame(data)
+
+
+def pii_hits_map_col(struct_col: str = "_scrub") -> F.Column:
+    """Build the map<string,long> hits column from the scrub struct."""
+    pairs = []
+    for k in textproc.SCRUB_KINDS:
+        pairs.append(F.lit(k))
+        pairs.append(F.col(f"{struct_col}.hits_{k}"))
+    return F.create_map(*pairs)
