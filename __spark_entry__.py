@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship quality pipeline on sf0.001.
+``queries()`` maps operator names (SURVEY.md §2 inventory + the
+training-data operator set) to (spark, sf_dir) -> DataFrame callables;
+``oracle_sql()`` holds the DuckDB-equivalent SQL for each
+SQL-expressible entry.  Column names/aliases match pairwise — the
+driver's compare sorts columns by name before hashing.
+
+Float policy: aggregates that depend on summation order are rounded
+(2-4 dp, error margins ~1e-6 of a rounding step); ratio-of-integer-sums
+is used instead of avg-of-ratios wherever possible so both engines
+produce bit-identical doubles.
 """
 
 from __future__ import annotations
@@ -12,27 +18,862 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqmtools_spark.functions.textstats import ALL_MARKERS
+
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, scale: int = 2, prec: int = 12) -> F.Column:
+    """Exact-decimal view of a money-like double column.
+
+    Sums of double products land exactly on round-half boundaries
+    (2dp x 2dp = 4dp values), where Spark's and DuckDB's last-ulp
+    summation differences flip the rounded digit.  Doing the arithmetic
+    in DECIMAL in BOTH engines removes the ambiguity; results are cast
+    back to double at the end (exact decimal -> nearest double is
+    deterministic and engine-independent)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+_MARKER_SQL = ", ".join(f"'{m}'" for m in ALL_MARKERS)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full quality pipeline over pages derived from the
+    sf0.001 documents table — langid + stats + rules + scrub, folded to
+    per-language keep/drop counts."""
+    from dqmtools_spark.pipeline import run_pipeline
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    result, _ = run_pipeline(spark, pages, n_buckets=16)
+    return (
+        result.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.count_if(F.col("keep")).alias("kept"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5/§2.2 relational core
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: G4/G5/G10 aggregations + O1 sort."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"), 2, 4)
+            ).cast("double").alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_filter_compound(spark, sf):
+    """P1/P2 compound boolean predicates (wibeth_tests.py:45,193,300)."""
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        ((F.col("l_discount") > 0.05) | (F.col("l_tax") < 0.03))
+        & F.col("l_quantity").between(10, 40)
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+
+
+def q_filter_sql_string(spark, sf):
+    """P3 string-query filter (dataframe_creator.py:172-181)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.filter(F.expr("event_type = 'error' AND value > 100"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+
+
+def q_project_compute(spark, sf):
+    """P5 bitwise / P6 arithmetic / P9 casts (wibeth_tests.py:41-43,168)."""
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_orderkey").bitwiseAND(F.lit(0x7FFF)).alias("key_low15"),
+        (F.floor((F.col("l_quantity") * 10) / 7) + 1).cast("long").alias("expected_frames"),
+        F.col("l_linenumber").cast("string").alias("line_str"),
+        F.round(
+            _dec("l_extendedprice")
+            * _dec(F.lit(1) - F.col("l_discount"), 2, 4)
+            * _dec(F.lit(1) + F.col("l_tax"), 2, 4),
+            2,
+        ).cast("double").alias("charge"),
+    )
+
+
+def q_broadcast_dim_join(spark, sf):
+    """J2 small-dim broadcast join (wibeth_tests.py:240)."""
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(_dec("s_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+def q_multi_join_agg(spark, sf):
+    """J1 multi-way equi-join + aggregation (TPC-H Q3 shape)."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"), 2, 4)
+            ).cast("double").alias("revenue")
+        )
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"), "revenue")
+    )
+
+
+def q_semi_join_exists(spark, sf):
+    """Semi-join (resume-style 'has results') per market segment."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o.select("o_custkey"), c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_anti_join_resume(spark, sf):
+    """Anti-join — the checkpoint-resume primitive (SURVEY §2.4)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o.select("o_custkey"), c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_dedup_then_join(spark, sf):
+    """J5 dedup-before-join to prevent fanout (wibeth_tests.py:252)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    first_order = o.groupBy("o_custkey").agg(F.min("o_orderkey").alias("first_orderkey"))
+    return (
+        first_order.join(F.broadcast(c), first_order["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("first_orderkey").alias("sum_first_key"),
+        )
+    )
+
+
+def q_group_distinct_violation(spark, sf):
+    """G1/G2 distinct-count-per-group violation count
+    (common_tests.py:41-43)."""
+    ev = _t(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if(F.col("n_types") != 5).alias("n_violations"),
+    )
+
+
+def q_group_mode(spark, sf):
+    """G3 per-group majority vote, ties -> smallest value
+    (common_tests.py:51, numpy argmax-over-unique semantics)."""
+    from dqmtools_spark.operators.mode import group_mode
+
+    ev = _t(spark, sf, "events")
+    return group_mode(ev, ["user_id"], "event_type").withColumnRenamed(
+        "event_type", "modal_event"
+    )
+
+
+def q_latest_per_key(spark, sf):
+    """O2/O4 latest-per-key dedup (dqmtools.py:96)."""
+    from dqmtools_spark.operators.latest import latest_per_key
+
+    ev = _t(spark, sf, "events")
+    return latest_per_key(ev, ["user_id"], "ts", tiebreak=["event_id"]).select(
+        "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+def q_window_running_sum(spark, sf):
+    """Window aggregation: per-user running total over event time."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", F.round(F.sum("value").over(w), 2).alias("running_value")
+    )
+
+
+def q_topk_orders(spark, sf):
+    """O1/O3 deterministic top-k (sort + limit)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+def q_union_append(spark, sf):
+    """O5 union/concat of result slices (dqmtools.py:99-104)."""
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F")
+    b = o.filter(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    )
+    return a.unionByName(b).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def q_string_funcs(spark, sf):
+    """F1/F3/F4/F6 string & date scalar functions."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month_str"),
+            F.regexp_replace("o_orderpriority", r"^\d-", "").alias("prio_clean"),
+            F.substring("o_orderstatus", 1, 1).alias("status_c"),
+            F.split(F.col("o_orderpriority"), "-").getItem(0).alias("prio_num"),
+        )
+        .groupBy("month_str", "prio_clean", "status_c", "prio_num")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_json_regex_extract(spark, sf):
+    """F5 regex capture-group parse (dqm_display.py:16,25-30)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k_val"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k_val").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_value_remap(spark, sf):
+    """P8 value remapping via CASE chain (plot_utils.py:21-31)."""
+    n = _t(spark, sf, "nation")
+    label = (
+        F.when(F.col("n_regionkey") == 0, F.lit("ZONE_A"))
+        .when(F.col("n_regionkey") == 1, F.lit("ZONE_B"))
+        .otherwise(F.lit("ZONE_OTHER"))
+    )
+    return n.select(label.alias("zone"), "n_name").groupBy("zone").agg(
+        F.count(F.lit(1)).alias("n_nations")
+    )
+
+
+def q_prescale_sample(spark, sf):
+    """P11 deterministic prescale (oracle-able modulo variant)."""
+    d = _t(spark, sf, "documents")
+    return d.filter(F.col("doc_id") % 7 == 0).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_events_minmax(spark, sf):
+    """G7/G8/G9 distinct counts + min/max."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 array / nested higher-order functions (embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_array_stats(spark, sf):
+    """A1/A2/A8: per-array predicate counts and exists."""
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.exists(F.col("embedding"), lambda x: x > F.lit(0.25)).alias("has_big"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+def q_array_norm(spark, sf):
+    """A5/A6-style aggregate() HOF: squared L2 norm per vector."""
+    e = _t(spark, sf, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding").cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    return e.select("vec_id", F.round(sq, 4).alias("norm_sq"))
+
+
+def q_array_slice(spark, sf):
+    """A7 array slice + arithmetic over the slice."""
+    e = _t(spark, sf, "embeddings")
+    head = F.slice(F.col("embedding").cast("array<double>"), 1, 8)
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(head, F.lit(0.0), lambda a, x: a + x) / F.size(head), 4
+        ).alias("head_mean"),
+    )
+
+
+def q_cosine_knn(spark, sf):
+    """Similarity search: exact cosine top-10 vs vec_id 0's embedding."""
+    from dqmtools_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = cosine_topk(e.filter(F.col("vec_id") != 0), "embedding", "vec_id", list(qvec), k=10)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup + quality (the graft payload in
+# oracle-checkable SQL form)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_word_stats(spark, sf):
+    """Token statistics per language (ratio-of-sums, exact doubles)."""
+    d = _t(spark, sf, "documents")
+    wc = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        d.select("lang", wc.alias("wc"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("wc").alias("total_words"),
+            (F.sum("wc").cast("double") / F.count(F.lit(1))).alias("avg_words"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def q_doc_stopword_fraction(spark, sf):
+    """Stop-word fraction per language as ratio of integer sums."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    markers = F.array(*[F.lit(m) for m in ALL_MARKERS])
+    hits = F.size(F.filter(toks, lambda w: F.array_contains(markers, w))).cast("long")
+    return (
+        d.select("lang", hits.alias("hits"), F.size(toks).cast("long").alias("wc"))
+        .groupBy("lang")
+        .agg(
+            (F.sum("hits").cast("double") / F.sum("wc").cast("double")).alias(
+                "stopword_fraction"
+            )
+        )
+    )
+
+
+def q_doc_token_count(spark, sf):
+    """BPE-ish token counting per source (training-data op)."""
+    d = _t(spark, sf, "documents")
+    tc = F.regexp_count(F.col("text"), F.lit(r"\w+|[^\w\s]")).cast("long")
+    return d.select("source", tc.alias("tc")).groupBy("source").agg(
+        F.sum("tc").alias("total_tokens")
+    )
+
+
+def q_doc_exact_dedup(spark, sf):
+    """Exact dedup accounting via content hash (training-data op)."""
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+    )
+
+
+def q_doc_lang_mode(spark, sf):
+    """G3 applied to documents: modal lang per source."""
+    from dqmtools_spark.operators.mode import group_mode
+
+    d = _t(spark, sf, "documents")
+    return group_mode(d, ["source"], "lang").withColumnRenamed("lang", "modal_lang")
+
+
+def q_ngram_jaccard(spark, sf):
+    """n-gram Jaccard near-dup scores on a bounded doc subset."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    wset = F.array_distinct(F.split(F.col("text"), " "))
+    s = d.select(F.col("doc_id").alias("id_a"), wset.alias("w_a"))
+    t = d.select(F.col("doc_id").alias("id_b"), wset.alias("w_b"))
+    inter = F.size(F.array_intersect(F.col("w_a"), F.col("w_b")))
+    union = F.size(F.array_union(F.col("w_a"), F.col("w_b")))
+    jac = inter.cast("double") / union
+    return (
+        s.join(t, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.4)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def q_quality_keep_summary(spark, sf):
+    """The north-rule quality filter in oracle-checkable SQL form:
+    C4/Gopher rules (word count, symbol ratio, per-lang stop-word
+    floor) folded to keep/drop counts per language."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    low = F.split(F.lower(F.col("text")), " ")
+    markers = F.array(*[F.lit(m) for m in ALL_MARKERS])
+    wc = F.size(toks).cast("long")
+    symbols = F.length(F.regexp_replace(F.col("text"), r"[\p{L}\p{N}\s]", ""))
+    sym_ratio = F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
+        symbols.cast("double") / F.length("text")
+    )
+    stop_frac = F.size(F.filter(low, lambda w: F.array_contains(markers, w))).cast(
+        "double"
+    ) / wc
+    thr = F.when(F.col("lang") == "zh", F.lit(0.0)).otherwise(F.lit(0.05))
+    keep = (wc >= 15) & (sym_ratio <= 0.08) & (stop_frac >= thr)
+    return (
+        d.select("lang", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("keep")).alias("n_keep"),
+            F.count_if(~F.col("keep")).alias("n_drop"),
+        )
+    )
+
+
+def q_doc_fingerprint(spark, sf):
+    """Document fingerprinting: stable per-doc hash prefix histogram."""
+    d = _t(spark, sf, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long")
+    return d.select(bucket.alias("fp_bucket")).groupBy("fp_bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible (rows-only checks): LSH dedup, ANN, full pipeline
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_pairs(spark, sf):
+    from dqmtools_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf):
+    from dqmtools_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf, "documents")
+    return simhash_pairs(d, "text", "doc_id", max_hamming=8)
+
+
+def q_ann_topk(spark, sf):
+    from dqmtools_spark.operators.similarity import ann_query, build_ann_index
+
+    e = _t(spark, sf, "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    indexed = build_ann_index(e.filter(F.col("vec_id") != 0), "embedding")
+    return ann_query(indexed, "embedding", "vec_id", qvec, k=10).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q_pipeline_full(spark, sf):
+    """Full pages pipeline (UDF path) over documents-as-pages."""
+    from dqmtools_spark.pipeline import run_pipeline
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    result, _ = run_pipeline(spark, pages, n_buckets=16)
+    return result.select("url", "keep", "lang_pred", "quality_score")
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "filter_compound": q_filter_compound,
+        "filter_sql_string": q_filter_sql_string,
+        "project_compute": q_project_compute,
+        "broadcast_dim_join": q_broadcast_dim_join,
+        "multi_join_agg": q_multi_join_agg,
+        "semi_join_exists": q_semi_join_exists,
+        "anti_join_resume": q_anti_join_resume,
+        "dedup_then_join": q_dedup_then_join,
+        "group_distinct_violation": q_group_distinct_violation,
+        "group_mode": q_group_mode,
+        "latest_per_key": q_latest_per_key,
+        "window_running_sum": q_window_running_sum,
+        "topk_orders": q_topk_orders,
+        "union_append": q_union_append,
+        "string_funcs": q_string_funcs,
+        "json_regex_extract": q_json_regex_extract,
+        "value_remap": q_value_remap,
+        "prescale_sample": q_prescale_sample,
+        "events_minmax": q_events_minmax,
+        "array_stats": q_array_stats,
+        "array_norm": q_array_norm,
+        "array_slice": q_array_slice,
+        "cosine_knn": q_cosine_knn,
+        "doc_word_stats": q_doc_word_stats,
+        "doc_stopword_fraction": q_doc_stopword_fraction,
+        "doc_token_count": q_doc_token_count,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_lang_mode": q_doc_lang_mode,
+        "ngram_jaccard": q_ngram_jaccard,
+        "quality_keep_summary": q_quality_keep_summary,
+        "doc_fingerprint": q_doc_fingerprint,
+        # non-SQL-expressible (rows-only driver check):
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "pipeline_full": q_pipeline_full,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                            CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                         / COUNT(*), 4) AS avg_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_compound": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+            FROM lineitem
+            WHERE (l_discount > 0.05 OR l_tax < 0.03)
+              AND l_quantity BETWEEN 10 AND 40
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+        """,
+        "filter_sql_string": """
+            SELECT user_id, COUNT(*) AS n_errors
+            FROM events
+            WHERE event_type = 'error' AND value > 100
+            GROUP BY user_id
+        """,
+        "project_compute": """
+            SELECT l_orderkey, l_linenumber,
+                   l_orderkey & 32767 AS key_low15,
+                   CAST(FLOOR((l_quantity * 10) / 7) + 1 AS BIGINT) AS expected_frames,
+                   CAST(l_linenumber AS VARCHAR) AS line_str,
+                   CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              CAST(1 - l_discount AS DECIMAL(4,2)) *
+                              CAST(1 + l_tax AS DECIMAL(4,2)), 2) AS DOUBLE) AS charge
+            FROM lineitem
+        """,
+        "broadcast_dim_join": """
+            SELECT r_name, COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "multi_join_agg": """
+            SELECT o_orderkey,
+                   STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                            CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1997-01-01'
+            GROUP BY o_orderkey, o_orderdate
+        """,
+        "semi_join_exists": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "anti_join_resume": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "dedup_then_join": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers,
+                   CAST(SUM(first_orderkey) AS BIGINT) AS sum_first_key
+            FROM (SELECT o_custkey, MIN(o_orderkey) AS first_orderkey
+                  FROM orders GROUP BY o_custkey) fo
+            JOIN customer ON fo.o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "group_distinct_violation": """
+            SELECT COUNT(*) AS n_users,
+                   CAST(COUNT(*) FILTER (WHERE n_types <> 5) AS BIGINT) AS n_violations
+            FROM (SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+                  FROM events GROUP BY user_id)
+        """,
+        "group_mode": """
+            SELECT user_id, event_type AS modal_event
+            FROM (SELECT user_id, event_type, COUNT(*) AS c
+                  FROM events GROUP BY user_id, event_type)
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY c DESC, event_type ASC) = 1
+        """,
+        "latest_per_key": """
+            SELECT user_id, event_id, event_type, ROUND(value, 2) AS value
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "window_running_sum": """
+            SELECT event_id,
+                   ROUND(SUM(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_value
+            FROM events
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "union_append": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM (
+                SELECT * FROM orders WHERE o_orderstatus = 'F'
+                UNION ALL
+                SELECT * FROM orders
+                WHERE o_orderstatus = 'O' AND o_orderdate >= TIMESTAMP '1997-01-01'
+            )
+            GROUP BY o_orderpriority
+        """,
+        "string_funcs": """
+            SELECT STRFTIME(o_orderdate, '%Y-%m') AS month_str,
+                   REGEXP_REPLACE(o_orderpriority, '^\\d-', '', 'g') AS prio_clean,
+                   SUBSTRING(o_orderstatus, 1, 1) AS status_c,
+                   STRING_SPLIT(o_orderpriority, '-')[1] AS prio_num,
+                   COUNT(*) AS n
+            FROM orders
+            GROUP BY 1, 2, 3, 4
+        """,
+        "json_regex_extract": """
+            SELECT event_type,
+                   CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY event_type
+        """,
+        "value_remap": """
+            SELECT CASE WHEN n_regionkey = 0 THEN 'ZONE_A'
+                        WHEN n_regionkey = 1 THEN 'ZONE_B'
+                        ELSE 'ZONE_OTHER' END AS zone,
+                   COUNT(*) AS n_nations
+            FROM nation
+            GROUP BY 1
+        """,
+        "prescale_sample": """
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            WHERE doc_id % 7 = 0
+        """,
+        "events_minmax": """
+            SELECT event_type,
+                   ROUND(MIN(value), 2) AS min_value,
+                   ROUND(MAX(value), 2) AS max_value,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY event_type
+        """,
+        "array_stats": """
+            SELECT vec_id,
+                   CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+                   LEN(LIST_FILTER(embedding, x -> x > 0.25)) > 0 AS has_big,
+                   CAST(LEN(embedding) AS BIGINT) AS dim
+            FROM embeddings
+        """,
+        "array_norm": """
+            SELECT vec_id,
+                   ROUND(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                                                 x -> x * x)), 4) AS norm_sq
+            FROM embeddings
+        """,
+        "array_slice": """
+            SELECT vec_id,
+                   ROUND(LIST_SUM(CAST(embedding[1:8] AS DOUBLE[])) / 8, 4) AS head_mean
+            FROM embeddings
+        """,
+        "cosine_knn": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), qv) /
+                         (SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x*x))) *
+                          SQRT(LIST_SUM(LIST_TRANSFORM(qv, x -> x*x)))), 4) AS cosine
+            FROM embeddings, q
+            WHERE vec_id <> 0
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "doc_word_stats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_words,
+                   CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_words,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY lang
+        """,
+        "doc_stopword_fraction": f"""
+            SELECT lang,
+                   CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                            w -> w IN ({_MARKER_SQL})))) AS DOUBLE)
+                   / CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                   AS stopword_fraction
+            FROM documents
+            GROUP BY lang
+        """,
+        "doc_token_count": """
+            SELECT source,
+                   CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '\\w+|[^\\w\\s]'))) AS BIGINT)
+                   AS total_tokens
+            FROM documents
+            GROUP BY source
+        """,
+        "doc_exact_dedup": """
+            SELECT COUNT(*) AS n_docs,
+                   COUNT(DISTINCT MD5(text)) AS n_unique_texts
+            FROM documents
+        """,
+        "doc_lang_mode": """
+            SELECT source, lang AS modal_lang
+            FROM (SELECT source, lang, COUNT(*) AS c
+                  FROM documents GROUP BY source, lang)
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY c DESC, lang ASC) = 1
+        """,
+        "ngram_jaccard": """
+            WITH d AS (
+                SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS w
+                FROM documents WHERE doc_id < 40
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CAST(LEN(LIST_INTERSECT(a.w, b.w)) AS DOUBLE) /
+                         (LEN(a.w) + LEN(b.w) - LEN(LIST_INTERSECT(a.w, b.w))), 4)
+                   AS jaccard
+            FROM d a, d b
+            WHERE a.doc_id < b.doc_id
+              AND CAST(LEN(LIST_INTERSECT(a.w, b.w)) AS DOUBLE) /
+                  (LEN(a.w) + LEN(b.w) - LEN(LIST_INTERSECT(a.w, b.w))) >= 0.4
+        """,
+        "quality_keep_summary": f"""
+            WITH scored AS (
+                SELECT lang,
+                       LEN(STRING_SPLIT(text, ' ')) AS wc,
+                       CASE WHEN LENGTH(text) = 0 THEN 0.0
+                            ELSE CAST(LENGTH(REGEXP_REPLACE(text,
+                                 '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+                                 / LENGTH(text) END AS sym_ratio,
+                       CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                            w -> w IN ({_MARKER_SQL}))) AS DOUBLE)
+                       / LEN(STRING_SPLIT(text, ' ')) AS stop_frac
+                FROM documents
+            )
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(COUNT(*) FILTER (WHERE wc >= 15 AND sym_ratio <= 0.08
+                        AND stop_frac >= (CASE WHEN lang = 'zh' THEN 0.0 ELSE 0.05 END))
+                        AS BIGINT) AS n_keep,
+                   CAST(COUNT(*) FILTER (WHERE NOT (wc >= 15 AND sym_ratio <= 0.08
+                        AND stop_frac >= (CASE WHEN lang = 'zh' THEN 0.0 ELSE 0.05 END)))
+                        AS BIGINT) AS n_drop
+            FROM scored
+            GROUP BY lang
+        """,
+        "doc_fingerprint": """
+            SELECT CAST(('0x' || SUBSTRING(MD5(text), 1, 2))::BIGINT AS BIGINT) AS fp_bucket,
+                   COUNT(*) AS n
+            FROM documents
+            GROUP BY 1
+        """,
+    }

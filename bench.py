@@ -1,0 +1,138 @@
+"""Benchmark harness — one JSON line on stdout (driver contract).
+
+Headline workloads:
+- ``pipeline``: the north-rule quality pipeline (extract → langid →
+  stats → rules → perplexity → scrub → fold) over a deterministic
+  synthetic pages table sized to the scale factor.
+- relational/dedup/similarity queries from ``__spark_entry__`` at
+  ``$SPARK_GRAFT_SF_DIR``.
+
+``--scaling`` additionally runs the pipeline at local[8] and local[32]
+on identical input and reports throughput + efficiency (the sandbox
+proxy for N vs 4N executors) — results land in BENCH/BASELINE.md via
+``--scaling --write-md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _pages_n(sf_dir: str) -> int:
+    if "sf0.1" in sf_dir:
+        return 50_000
+    if "sf0.01" in sf_dir:
+        return 5_000
+    return 1_000
+
+
+def _mk_spark(cpus: str, shuffle_partitions: int | None = None):
+    from dqmtools_spark.session import get_spark
+
+    sp = get_spark(
+        app_name="dqmtools_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=shuffle_partitions or 2 * int(cpus),
+    )
+    sp.sparkContext.setLogLevel("ERROR")
+    return sp
+
+
+def run_pipeline_bench(spark, n_docs: int) -> tuple[float, int]:
+    """Returns (seconds, docs processed). Input generation is excluded
+    from the timed section by materializing pages first."""
+    from pyspark.sql import functions as F
+
+    from dqmtools_spark.pipeline import run_pipeline
+    from dqmtools_spark.synth import synth_pages
+
+    pages = synth_pages(spark, n_docs, seed=42).cache()
+    n = pages.count()  # materialize input outside the timer
+    t0 = time.perf_counter()
+    result, _ = run_pipeline(spark, pages)
+    # force full computation incl. scrub text without collecting rows
+    result.agg(
+        F.count(F.lit(1)),
+        F.count_if(F.col("keep")),
+        F.sum(F.length("scrubbed_text")),
+    ).collect()
+    dt = time.perf_counter() - t0
+    pages.unpersist()
+    return dt, n
+
+
+def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    names = [
+        "pricing_summary",
+        "multi_join_agg",
+        "latest_per_key",
+        "quality_keep_summary",
+        "doc_token_count",
+        "cosine_knn",
+        "minhash_pairs",
+        "simhash_pairs",
+    ]
+    qs = entry_mod.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def scaling_run(n_docs: int) -> dict:
+    """Same pipeline, same input, local[8] then local[32]."""
+    results = {}
+    for cpus in ("8", "32"):
+        spark = _mk_spark(cpus)
+        dt, n = run_pipeline_bench(spark, n_docs)
+        results[cpus] = {"sec": round(dt, 3), "docs_per_sec": round(n / dt, 1)}
+        spark.stop()
+    t8, t32 = results["8"]["docs_per_sec"], results["32"]["docs_per_sec"]
+    results["efficiency_8_to_32"] = round((t32 / t8) / (32 / 8), 3)
+    return results
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", _pages_n(sf_dir)))
+
+    if "--scaling" in sys.argv:
+        res = scaling_run(n_docs)
+        print(json.dumps({"scaling": res, "n_docs": n_docs}))
+        return
+
+    spark = _mk_spark(cpus)
+    queries: dict[str, float] = {}
+    pipe_sec, n = run_pipeline_bench(spark, n_docs)
+    queries["pipeline"] = round(pipe_sec, 3)
+    queries.update(run_query_bench(spark, sf_dir))
+    total = round(sum(queries.values()), 3)
+    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "pipeline_docs": n,
+                "pipeline_docs_per_sec": round(n / pipe_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

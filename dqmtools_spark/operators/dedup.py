@@ -1,0 +1,262 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-conscious:
+
+- exact:     hash-groupBy on md5(text) — one exchange.
+- n-gram Jaccard: exact word-shingle similarity for candidate pairs.
+- MinHash+LSH: shingles → k minhashes → b bands → bucket self-join →
+  Jaccard verify.  The self-join is banded, so the shuffle key is
+  (band, bucket-hash): at 100 TB no all-pairs blowup, and hot buckets
+  split under AQE skew-join.
+- SimHash:   64-bit signature (numpy inside a pandas UDF), Hamming
+  candidates via 4x16-bit band pigeonhole, verified with bit_count.
+
+Everything is deterministic (seeded hash families), so dedup decisions
+are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id representative of every identical text.
+
+    One hash exchange on md5(text); min() is a map-side-combinable agg.
+    """
+    h = F.md5(F.col(text_col)).alias("_h")
+    keep_ids = (
+        df.select(h, F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep_ids, on=id_col, how="left_semi")
+
+
+# ------------------------------------------------------------- shingles
+
+
+def word_shingles(text: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-grams (array<string>); docs shorter than n words
+    fall back to their full token set so they still participate."""
+    words = F.split(F.trim(text), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard(a: F.Column, b: F.Column) -> F.Column:
+    """Exact Jaccard over two string arrays (distinct semantics)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs exact n-gram Jaccard >= threshold (id_a < id_b).
+
+    Quadratic — only for small/verification inputs; the scale path is
+    :func:`minhash_lsh_pairs`, which calls the same verify.
+    """
+    s = df.select(
+        F.col(id_col).alias("id_a"), word_shingles(F.col(text_col), n).alias("sh_a")
+    )
+    t = df.select(
+        F.col(id_col).alias("id_b"), word_shingles(F.col(text_col), n).alias("sh_b")
+    )
+    pairs = s.join(t, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------- MinHash LSH
+
+
+def minhash_signature(shingles: F.Column, num_hashes: int = 32) -> F.Column:
+    """array<long> of per-seed min-hashes, entirely JVM-side:
+    min(xxhash64(shingle, seed_i)) per i.  Empty shingle set -> nulls."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    bands=8 x rows=4 over 32 hashes -> collision prob ~ s^4 per band;
+    s=0.8 gives ~97% recall.  Shuffle plan: one exchange to bucket-join
+    on (band, band_hash), one to verify (shingles re-joined by id).
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n).alias("_sh"),
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = base.select(
+        "_id", F.explode(F.array(*band_cols)).alias("_band")
+    ).select("_id", "_band.band", "_band.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = base.select("_id", "_sh")
+    verified = (
+        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def drop_near_duplicates(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Keep-first policy: drop any row whose id appears as the LARGER
+    member of a duplicate pair (deterministic, order-free)."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# -------------------------------------------------------------- SimHash
+
+_SIMHASH_SCHEMA = T.LongType()
+
+
+@F.pandas_udf(_SIMHASH_SCHEMA)
+def simhash64_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (md5-derived token hashes,
+    numpy bit-vote — vectorized per document, deterministic)."""
+    import hashlib
+
+    import numpy as np
+
+    def sim(t: str | None) -> int | None:
+        if t is None:
+            return None
+        toks = t.lower().split()
+        if not toks:
+            return 0
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
+                for w in set(toks)
+            ],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        val = int(((votes >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        # reinterpret as signed 64-bit for Spark LongType
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    return text.map(sim)
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: with 4 bands of 16 bits, any pair within
+    Hamming 3 agrees exactly on >=1 band — candidates come from 4
+    band-equijoins (shuffle on 16-bit band value), then bit_count
+    verifies. No all-pairs comparison.
+    """
+    sig = df.select(
+        F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("_sig")
+    )
+    bands = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("_sig"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_sig", "_b.band", "_b.val")
+
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sig").alias("sig_a"),
+            F.col("r._sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,161 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+The Spark-side plumbing is real — schemas, Arrow batch shapes,
+``mapInPandas`` signatures, partition sizing — while the actual codec
+work is stubbed deterministically (no image/audio libraries in this
+container): ``decode_image_meta`` parses real PNG/JPEG headers from
+bytes (pure Python, deterministic), and ``extract_features`` emits a
+seeded deterministic fake embedding.  Swapping in Pillow/torchaudio is
+a one-function change inside the UDF; the distributed plan is already
+correct.
+
+Analog: the reference's waveform handling — opaque per-row arrays
+decoded by external unpackers (``dump_pds_ana_info.py:125-163``).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+    ]
+)
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """Deterministic header sniff for PNG / JPEG / GIF; None otherwise.
+
+    Real byte-level parsing (this part needs no codec library); full
+    pixel decode is the stubbed step.
+    """
+    if not b or len(b) < 10:
+        return None, None, None
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", int(w), int(h)
+    if b[:3] == b"GIF" and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", int(w), int(h)
+    if b[:2] == b"\xff\xd8":
+        # walk JPEG segments for SOF0/2
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0xC0, 0xC2):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return "jpeg", int(w), int(h)
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return "jpeg", None, None
+    return None, None, None
+
+
+def decode_media_meta(df: DataFrame) -> DataFrame:
+    """media table -> typed metadata via mapInPandas (Arrow batches)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, nb = [], [], [], []
+            for b in pdf["payload"]:
+                fmt, w, h = _parse_image_header(b)
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+                nb.append(len(b) if b is not None else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "n_bytes": pd.array(nb, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(decode, schema=META_SCHEMA)
+
+
+def extract_features(df: DataFrame, stub: bool = True) -> DataFrame:
+    """Feature extraction over binary payloads.
+
+    ``stub=True`` (this container) emits a DETERMINISTIC FAKE feature:
+    a seeded hash-derived vector — the Spark plan (partition-parallel
+    mapInPandas, Arrow batches, array<float> output) is the real
+    deliverable.  ``stub=False`` raises until a codec library is wired.
+    """
+    if not stub:
+        raise NotImplementedError(
+            "real decode requires an image/audio library not present in "
+            "this container; wire Pillow/torchaudio here"
+        )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                if b is None:
+                    out.append(None)
+                    continue
+                seed = int.from_bytes(
+                    (b[:8] + b"\x00" * 8)[:8], "big", signed=False
+                ) % (2**32)
+                rng = np.random.default_rng(seed)
+                out.append(rng.standard_normal(FEATURE_DIM).astype(np.float32))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": out})
+
+    return df.mapInPandas(feats, schema=FEATURES_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling *plan*: explode frame indexes derived from
+    metadata (n_bytes as a stand-in for frame count in the stub);
+    decode-per-frame would attach via mapInPandas downstream."""
+    return (
+        df.withColumn("n_frames", (F.coalesce(F.length("payload"), F.lit(0)) / 1000).cast("int"))
+        .withColumn(
+            "frame_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("n_frames") - 1, F.lit(0)),
+                    F.lit(every_n),
+                )
+            ),
+        )
+        .select("media_id", "frame_idx")
+    )
