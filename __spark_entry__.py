@@ -514,9 +514,87 @@ def q_doc_fingerprint(spark, sf):
     )
 
 
+def q_salted_source_agg(spark, sf):
+    """Skew-safe two-phase salted aggregation (north rule: salted keys
+    for skewed domains).  Result is identical to a plain groupBy —
+    that IS the contract the oracle checks."""
+    from dqmtools_spark.operators.skew import salted_agg
+
+    d = _t(spark, sf, "documents")
+    return salted_agg(
+        d,
+        ["source"],
+        {
+            "n_docs": ("count", "*"),
+            "total_chars": ("sum", "n_chars"),
+            "min_id": ("min", "doc_id"),
+            "max_id": ("max", "doc_id"),
+        },
+        unit_col="doc_id",
+        n_salts=8,
+    )
+
+
+def q_desparsify_check(spark, sf):
+    """A5 diff-of-diff sparse array reconstruction (wibeth_tests.py:191).
+
+    Spark materializes the full array via transform/aggregate HOFs and
+    reports last element + sum; the DuckDB oracle computes the same
+    quantities from the closed forms — a genuine differential test of
+    the reconstruction math."""
+    from dqmtools_spark.functions.arrays import desparsify_diff_of_diff
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    n = (F.lit(16) + F.col("doc_id") % 17).cast("int")
+    first = (F.col("doc_id") * 100).cast("long")
+    idx = F.array(F.lit(0).cast("long"), (F.lit(3) + F.col("doc_id") % 5).cast("long"))
+    vals = F.array(
+        (F.lit(2) + F.col("doc_id") % 7).cast("long"),
+        (-(F.col("doc_id") % 3)).cast("long"),
+    )
+    arr = desparsify_diff_of_diff(first, idx, vals, n)
+    return d.select(
+        "doc_id",
+        F.element_at(arr, -1).alias("last_val"),
+        F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x).alias("arr_sum"),
+    )
+
+
+def q_cosine_dup_pairs(spark, sf):
+    """Embedding-cosine near-dup, exact all-pairs tier on a bounded
+    slice (LSH-bucketed variant is the rows-only `embedding_dup_lsh`)."""
+    from dqmtools_spark.operators.similarity import cosine
+
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+    l = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    r = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    c = cosine(F.col("va"), F.col("vb"))
+    return (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", c.alias("c"))
+        .filter(F.col("c") >= 0.35)
+        .select("id_a", "id_b", F.round("c", 4).alias("cosine"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible (rows-only checks): LSH dedup, ANN, full pipeline
 # ---------------------------------------------------------------------------
+
+
+def q_embedding_dup_lsh(spark, sf):
+    from dqmtools_spark.operators.dedup import embedding_cosine_pairs
+
+    e = _t(spark, sf, "embeddings")
+    return embedding_cosine_pairs(
+        e, "embedding", "vec_id", threshold=0.35, n_planes=6
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 def q_minhash_pairs(spark, sf):
@@ -597,7 +675,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "quality_keep_summary": q_quality_keep_summary,
         "doc_fingerprint": q_doc_fingerprint,
+        "salted_source_agg": q_salted_source_agg,
+        "desparsify_check": q_desparsify_check,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
         # non-SQL-expressible (rows-only driver check):
+        "embedding_dup_lsh": q_embedding_dup_lsh,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
@@ -875,5 +957,45 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM documents
             GROUP BY 1
+        """,
+        "salted_source_agg": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   MIN(doc_id) AS min_id,
+                   MAX(doc_id) AS max_id
+            FROM documents
+            GROUP BY source
+        """,
+        "desparsify_check": """
+            WITH p AS (
+                SELECT doc_id,
+                       16 + doc_id % 17 AS n,
+                       doc_id * 100 AS fv,
+                       3 + doc_id % 5 AS i1,
+                       2 + doc_id % 7 AS v0,
+                       -(doc_id % 3) AS v1
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(fv + v0 * (n - 1) + v1 * (n - 1 - i1) AS BIGINT) AS last_val,
+                   CAST(n * fv + v0 * ((n - 1) * n / 2)
+                        + v1 * ((n - 1 - i1) * (n - i1) / 2) AS BIGINT) AS arr_sum
+            FROM p
+        """,
+        "cosine_dup_pairs": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 150
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
+                         (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) *
+                          SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 4) AS cosine
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id
+              AND LIST_DOT_PRODUCT(a.v, b.v) /
+                  (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) *
+                   SQRT(LIST_DOT_PRODUCT(b.v, b.v))) >= 0.35
         """,
     }

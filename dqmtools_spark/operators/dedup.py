@@ -260,3 +260,51 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------- embedding-cosine near-dup
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Candidate generation is the hyperplane-LSH bucket (same signature
+    family as ANN search): only rows sharing a sign-pattern bucket are
+    compared, so the self-join shuffles on (bucket) instead of
+    exploding all pairs.  High-cosine pairs agree on most hyperplane
+    signs, so recall at 0.95+ cosine is high with 8 planes; exact
+    cosine (JVM-side ``aggregate(zip_with(...))``) verifies every
+    candidate — no false positives.
+
+    Semantics analog: the reference's near-identical-stream checks
+    compare per-channel signatures rather than raw waveforms
+    (SURVEY §2.3 A1-A5); here the signature is the LSH bucket.
+    """
+    from dqmtools_spark.operators.similarity import build_ann_index, cosine
+
+    indexed = build_ann_index(df, vec_col, n_planes=n_planes, seed=seed).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        "bucket",
+    )
+    l, r = indexed.alias("l"), indexed.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l._id") < F.col("r._id")),
+    )
+    return (
+        cand.select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            cosine(F.col("l._v"), F.col("r._v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,187 @@
+"""Tests: salted skew-safe aggregation, A5 desparsify HOFs, and
+embedding-cosine near-dup (LSH candidates vs exact verification)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- salted agg
+
+
+def test_salted_agg_matches_plain_groupby(spark, sf_dir):
+    from dqmtools_spark.operators.skew import salted_agg
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = (
+        salted_agg(
+            d,
+            ["source"],
+            {
+                "n_docs": ("count", "*"),
+                "total_chars": ("sum", "n_chars"),
+                "min_id": ("min", "doc_id"),
+                "max_id": ("max", "doc_id"),
+            },
+            unit_col="doc_id",
+            n_salts=8,
+        )
+        .orderBy("source")
+        .collect()
+    )
+    want = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+        .collect()
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+def test_salted_agg_rejects_non_mergeable(spark):
+    from dqmtools_spark.operators.skew import salted_agg
+
+    df = spark.range(4)
+    with pytest.raises(ValueError, match="non-mergeable"):
+        salted_agg(df, [], {"x": ("avg", "id")}, unit_col="id")
+
+
+def test_heavy_hitters_finds_skewed_domain(spark):
+    from dqmtools_spark.operators.skew import heavy_hitters
+    from dqmtools_spark.synth import synth_pages
+
+    pages = synth_pages(spark, 500, seed=42).withColumn(
+        "domain", F.parse_url("url", F.lit("HOST"))
+    )
+    hh = heavy_hitters(pages, "domain", unit_col="url", min_fraction=0.2)
+    rows = hh.collect()
+    # synth_pages routes ~30% of rows to one hot domain by construction
+    assert len(rows) >= 1
+    assert rows[0]["fraction"] >= 0.2
+
+
+# ------------------------------------------------------------ desparsify
+
+
+def _np_desparsify(first: int, idx: list[int], vals: list[int], n: int) -> np.ndarray:
+    """Independent numpy reference: materialize dd, double-cumsum."""
+    dd = np.zeros(n - 1, dtype=np.int64)
+    for i, v in zip(idx, vals):
+        dd[i] += v
+    d = np.cumsum(dd)
+    return np.concatenate([[first], first + np.cumsum(d)])
+
+
+DESPARSIFY_CASES = [
+    (1000, [0], [16], 8),               # constant diff 16 (DTS ticks)
+    (5, [0, 3], [2, -1], 10),           # diff steps down mid-array
+    (0, [], [], 6),                     # no diffs: constant array
+    (-50, [1, 2, 3], [7, 0, -7], 12),   # zero-valued dd entry
+    (2**40, [0, 62], [16, 1], 64),      # WIBEth-like: 64 frames, tick slip
+]
+
+
+@pytest.mark.parametrize("first,idx,vals,n", DESPARSIFY_CASES)
+def test_desparsify_matches_numpy(spark, first, idx, vals, n):
+    from dqmtools_spark.functions.arrays import (
+        desparsify_diff_of_diff,
+        desparsify_last,
+    )
+
+    df = spark.createDataFrame(
+        [(first, idx, vals, n)], "first long, idx array<long>, vals array<long>, n int"
+    )
+    row = df.select(
+        desparsify_diff_of_diff("first", "idx", "vals", "n").alias("arr"),
+        desparsify_last("first", "idx", "vals", "n").alias("last"),
+    ).first()
+    want = _np_desparsify(first, idx, vals, n)
+    assert row["arr"] == want.tolist()
+    assert row["last"] == int(want[-1])
+
+
+def test_desparsify_random_roundtrip(spark):
+    from dqmtools_spark.functions.arrays import desparsify_diff_of_diff
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for _ in range(25):
+        n = int(rng.integers(2, 40))
+        nnz = int(rng.integers(0, min(5, n - 1) + 1))
+        idx = sorted(rng.choice(n - 1, size=nnz, replace=False).tolist()) if nnz else []
+        vals = rng.integers(-100, 100, size=nnz).tolist()
+        first = int(rng.integers(-(2**30), 2**30))
+        rows.append((first, [int(i) for i in idx], [int(v) for v in vals], n))
+    df = spark.createDataFrame(
+        rows, "first long, idx array<long>, vals array<long>, n int"
+    )
+    got = df.select(
+        desparsify_diff_of_diff("first", "idx", "vals", "n").alias("arr")
+    ).collect()
+    for r, (first, idx, vals, n) in zip(got, rows):
+        assert r["arr"] == _np_desparsify(first, idx, vals, n).tolist()
+
+
+def test_array_helpers(spark):
+    from dqmtools_spark.functions.arrays import (
+        any_exceeds,
+        count_not_equal,
+        slice_between_values,
+    )
+
+    df = spark.createDataFrame(
+        [([16, 16, 17, 16], [100, 116, 132, 148], [1, 2, 3, 4])],
+        "diffs array<long>, ts array<long>, adc array<long>",
+    )
+    row = df.select(
+        count_not_equal("diffs", 16).alias("n_bad"),
+        any_exceeds("adc", 3).alias("over"),
+        slice_between_values("adc", "ts", F.lit(116), F.lit(132)).alias("win"),
+    ).first()
+    assert row["n_bad"] == 1
+    assert row["over"] is True
+    assert row["win"] == [2, 3]
+
+
+# ----------------------------------------------- embedding cosine dedup
+
+
+def test_embedding_cosine_pairs_recall(spark):
+    from dqmtools_spark.operators.dedup import embedding_cosine_pairs
+    from dqmtools_spark.operators.similarity import cosine
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16))
+    rows = []
+    vid = 0
+    for v in base:
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        # a jittered near-duplicate of each (cosine ~0.99+)
+        dup = v + rng.standard_normal(16) * 0.02
+        rows.append((vid, [float(x) for x in dup])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(
+            df, "embedding", "vec_id", threshold=0.98, n_planes=6
+        ).collect()
+    }
+    # exact all-pairs ground truth
+    l = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    r = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (x["id_a"], x["id_b"])
+        for x in l.join(r, F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.98)
+        .collect()
+    }
+    assert got <= exact          # verification step: zero false positives
+    assert len(got) >= 0.8 * len(exact)  # LSH recall on near-identical pairs
