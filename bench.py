@@ -88,22 +88,45 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
 
 
 def scaling_run(n_docs: int) -> dict:
-    """Same pipeline, same input, local[8] then local[32]."""
+    """Same pipeline, same input, local[8] then local[32].
+
+    Each size runs in a FRESH python subprocess: stopping a SparkSession
+    and building another in one process leaves the Python-accumulator
+    socket pointing at the dead JVM (PythonAccumulatorV2.merge fails on
+    the second run)."""
+    import subprocess
+
     results = {}
     for cpus in ("8", "32"):
-        spark = _mk_spark(cpus)
-        dt, n = run_pipeline_bench(spark, n_docs)
-        results[cpus] = {"sec": round(dt, 3), "docs_per_sec": round(n / dt, 1)}
-        spark.stop()
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-one", cpus],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "SPARK_GRAFT_BENCH_DOCS": str(n_docs)},
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            check=True,
+        )
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
     t8, t32 = results["8"]["docs_per_sec"], results["32"]["docs_per_sec"]
     results["efficiency_8_to_32"] = round((t32 / t8) / (32 / 8), 3)
     return results
+
+
+def scaling_one(cpus: str, n_docs: int) -> None:
+    spark = _mk_spark(cpus)
+    dt, n = run_pipeline_bench(spark, n_docs)
+    print(json.dumps({"sec": round(dt, 3), "docs_per_sec": round(n / dt, 1)}))
+    spark.stop()
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", _pages_n(sf_dir)))
+
+    if "--scaling-one" in sys.argv:
+        scaling_one(sys.argv[sys.argv.index("--scaling-one") + 1], n_docs)
+        return
 
     if "--scaling" in sys.argv:
         res = scaling_run(n_docs)

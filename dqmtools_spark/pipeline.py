@@ -22,11 +22,9 @@ from pyspark.sql import functions as F
 
 from dqmtools_spark.functions import textstats
 from dqmtools_spark.functions.udfs import (
-    extract_text_udf,
-    langid_udf,
-    perplexity_udf,
     pii_hits_map_col,
-    scrub_udf,
+    process_page_udf,
+    process_text_udf,
 )
 from dqmtools_spark.rules.builtin import default_registry, join_lang_thresholds
 from dqmtools_spark.rules.core import RuleBuildOutcome, RuleRegistry, evaluate_rules
@@ -44,11 +42,18 @@ def enrich_pages(
 
     ``reextract=True`` recomputes text from html (the byte-identical
     invariant path); False trusts the incoming ``text`` column.
+
+    All four Python steps (extract, langid, perplexity, scrub) run
+    fused in ONE Arrow round-trip; everything downstream (stats, rules,
+    fold) is JVM codegen.
     """
-    text_col = extract_text_udf(F.col("html")) if reextract else F.col("text")
-    df = df.withColumn("text_ex", text_col)
-    df = df.withColumn("lang_pred", langid_udf(F.col("text_ex")))
-    df = df.withColumn("perplexity", perplexity_udf(F.col("text_ex")))
+    proc = (
+        process_page_udf(F.col("html")) if reextract else process_text_udf(F.col("text"))
+    )
+    df = df.withColumn("_proc", proc)
+    df = df.withColumn("text_ex", F.col("_proc.text_ex"))
+    df = df.withColumn("lang_pred", F.col("_proc.lang_pred"))
+    df = df.withColumn("perplexity", F.col("_proc.perplexity"))
     stats = textstats.all_stats(F.col("text_ex"))
     df = df.select("*", *[c.alias(name) for name, c in stats.items()])
     # deterministic partition key: hash-bucket of url (skew-free even
@@ -70,20 +75,19 @@ def run_pipeline(
     registry = registry or default_registry()
     enriched = enrich_pages(pages, spark, reextract=reextract, n_buckets=n_buckets)
     evaluated, outcomes = evaluate_rules(enriched, registry)
-    scrubbed = evaluated.withColumn("_scrub", scrub_udf(F.col("text_ex")))
     n_applied = max(len([o for o in outcomes if o.column is not None]), 1)
     # quality score: fraction of rules passed (diagnostic, not gate)
     score = (
         (F.lit(n_applied) - F.size(F.col("reasons"))).cast("double") / n_applied
     ).alias("quality_score")
-    result = scrubbed.select(
+    result = evaluated.select(
         F.col("url"),
         F.col("keep"),
         F.col("reasons"),
-        F.col("_scrub.scrubbed_text").alias("scrubbed_text"),
+        F.col("_proc.scrubbed_text").alias("scrubbed_text"),
         F.col("lang_pred"),
         score,
-        pii_hits_map_col("_scrub").alias("pii_hits"),
+        pii_hits_map_col("_proc").alias("pii_hits"),
         F.col("part_key"),
     )
     return result, outcomes

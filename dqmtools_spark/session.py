@@ -27,18 +27,20 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox;
-    on a cluster the caller leaves it unset and spark-submit decides.
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox.
+    Pass ``master=""`` to leave the master unset so ``spark-submit
+    --master yarn/k8s`` decides (the cluster path).
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
 
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(sp))
+        builder.config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,0 +1,104 @@
+"""spark-submit entry point for the quality pipeline (north rule).
+
+Cluster usage (the intended deployment — N or 4N executors):
+
+    python scripts/package_pyfiles.py                 # -> dist/dqmtools_spark.zip
+    spark-submit --master yarn --deploy-mode cluster \
+        --num-executors 1000 --executor-cores 4 \
+        --py-files dist/dqmtools_spark.zip \
+        scripts/run_quality_pipeline.py \
+        --input  s3://bucket/pages_table \
+        --output s3://bucket/quality_out \
+        --n-buckets 4096
+
+Sandbox usage (local[N] stands in for N executors):
+
+    spark-submit --master 'local[32]' \
+        --py-files dist/dqmtools_spark.zip \
+        scripts/run_quality_pipeline.py \
+        --synth-docs 20000 --output /tmp/quality_out
+
+The job is checkpoint-resumable: re-submitting with the same --output
+processes only buckets not yet marked done (kill-safe, idempotent —
+see dqmtools_spark/sources/checkpoint.py).  Counters (docs in/out per
+rule per language) land in <output>/rule_metrics; per-partition lineage
+in <output>/progress.
+
+Rebuilt role of the reference's ``scripts/dqm_analyzer.py`` +
+``scripts/write_dqm_dataframes.py`` CLI pair (click options at
+dqm_analyzer.py:12-22), re-expressed as one resumable Spark job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# under spark-submit --py-files the zip is on sys.path already; when run
+# directly from the repo, add the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="quality-filter pipeline job")
+    ap.add_argument("--input", help="pages table path (parquet/iceberg)")
+    ap.add_argument("--synth-docs", type=int, default=0,
+                    help="generate N synthetic pages instead of --input")
+    ap.add_argument("--output", required=True, help="output base dir")
+    ap.add_argument("--n-buckets", type=int, default=64,
+                    help="url-hash partition buckets (resume granularity)")
+    ap.add_argument("--run-id", default="run")
+    ap.add_argument("--no-reextract", action="store_true",
+                    help="trust incoming text column instead of decoding html")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from dqmtools_spark.pipeline import run_pipeline, rule_metrics
+    from dqmtools_spark.rules.core import evaluate_rules
+    from dqmtools_spark.rules.builtin import default_registry
+    from dqmtools_spark.session import get_spark
+    from dqmtools_spark.sources.checkpoint import CheckpointedRun
+    from dqmtools_spark.sources.tables import write_table
+
+    # master="" -> spark-submit decides (yarn/k8s/local[N])
+    spark = get_spark(app_name="quality_pipeline", master="")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.synth_docs:
+        from dqmtools_spark.synth import synth_pages
+        pages = synth_pages(spark, args.synth_docs, seed=42)
+    elif args.input:
+        pages = spark.read.parquet(args.input)
+    else:
+        ap.error("one of --input / --synth-docs is required")
+
+    t0 = time.perf_counter()
+    result, outcomes = run_pipeline(
+        spark, pages, reextract=not args.no_reextract, n_buckets=args.n_buckets
+    )
+    ckpt = CheckpointedRun(spark, args.output, run_id=args.run_id)
+    summary = ckpt.run(result, n_buckets=args.n_buckets)
+
+    # rule counters: recompute the enriched view once for the metrics
+    # cube (skipped when resume found all buckets already done)
+    if not summary.get("skipped"):
+        from dqmtools_spark.pipeline import enrich_pages
+        enriched, _ = evaluate_rules(
+            enrich_pages(pages, spark, reextract=not args.no_reextract,
+                         n_buckets=args.n_buckets),
+            default_registry(),
+        )
+        write_table(rule_metrics(enriched), os.path.join(args.output, "rule_metrics"))
+
+    summary["wall_sec"] = round(time.perf_counter() - t0, 2)
+    summary["rules"] = [o.rule.name for o in outcomes]
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
