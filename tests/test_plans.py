@@ -1,0 +1,89 @@
+"""Physical-plan audits: assert the scale properties a human checks
+with .explain('formatted') — filters pushed to the scan, small dims
+broadcast, no row-at-a-time Python, no surprise shuffles.
+
+These tests pin the 100 TB story: a plan regression (broadcast falling
+back to sort-merge, a UDF blocking pushdown, an extra exchange) fails
+CI even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqmtools_spark.plans.audit import explain_str, plan_audit
+
+
+def test_pipeline_plan_one_python_stage_no_shuffle(spark):
+    """The per-doc pipeline must be: scan -> ONE fused Arrow stage ->
+    codegen rules -> broadcast threshold join.  Zero shuffle exchanges
+    (the only exchange in production is the partitioned write)."""
+    from dqmtools_spark.pipeline import run_pipeline
+    from dqmtools_spark.synth import synth_pages
+
+    pages = synth_pages(spark, 50, seed=1)
+    result, _ = run_pipeline(spark, pages)
+    audit = plan_audit(result)
+    assert audit["row_python_evals"] == 0, "row-at-a-time Python in hot path"
+    assert audit["shuffle_exchanges"] == 0, "unexpected shuffle in per-doc path"
+    assert audit["broadcast_joins"] >= 1, "lang-threshold dim not broadcast"
+    import re
+
+    plan = explain_str(result)
+    # the fused UDF keeps Python crossings to a single ArrowEvalPython
+    # node (formatted mode prints each node twice: tree + detail, so
+    # match the tree form "ArrowEvalPython (n)")
+    assert len(re.findall(r"ArrowEvalPython \(\d+\)", plan)) == 1, "UDFs not fused"
+
+
+def test_broadcast_dim_join_stays_broadcast(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["broadcast_dim_join"](spark, sf_dir)
+    audit = plan_audit(df)
+    assert audit["broadcast_joins"] >= 2
+    assert audit["sort_merge_joins"] == 0
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = explain_str(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan
+    # column pruning: scan schema must not include unprojected columns
+    assert "l_comment" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_relational_queries_are_pure_jvm(spark, sf_dir):
+    """SURVEY §2 relational operators must not touch Python at all."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in ("pricing_summary", "multi_join_agg", "latest_per_key",
+                 "group_mode", "quality_keep_summary", "desparsify_check"):
+        audit = plan_audit(qs[name](spark, sf_dir))
+        assert audit["python_evals"] == 0, f"{name} uses Python"
+
+
+def test_salted_agg_two_exchanges_max(spark, sf_dir):
+    """Two-phase salted aggregation: partials shuffle on (key, salt),
+    merge shuffles on key — no third exchange."""
+    from dqmtools_spark.operators.skew import salted_agg
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = salted_agg(d, ["source"], {"n": ("count", "*")}, unit_col="doc_id")
+    audit = plan_audit(out)
+    assert audit["shuffle_exchanges"] <= 2
+
+
+def test_minhash_banded_join_not_cartesian(spark, sf_dir):
+    """The LSH candidate join must be an equi-join on (band, bucket) —
+    never a cartesian/broadcast-nested-loop over all pairs."""
+    from dqmtools_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", persist_shingles=False)
+    plan = explain_str(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
