@@ -110,9 +110,16 @@ LANG_MARKERS: dict[str, frozenset[str]] = {
 
 _TOKEN_RE = re.compile(r"[^\W\d_]+", flags=re.UNICODE)
 
+# inverted marker index: token -> languages containing it (one dict
+# lookup per token instead of four set probes)
+_MARKER_LANGS: dict[str, tuple[str, ...]] = {}
+for _lang in sorted(LANG_MARKERS):
+    for _w in sorted(LANG_MARKERS[_lang]):
+        _MARKER_LANGS[_w] = _MARKER_LANGS.get(_w, ()) + (_lang,)
 
-def _is_cjk(ch: str) -> bool:
-    return 0x4E00 <= ord(ch) <= 0x9FFF
+# same codepoint range as the old per-char loop (0x4E00..0x9FFF), but
+# counted by the C regex engine instead of a Python char loop
+_CJK_RE = re.compile("[\u4e00-\u9fff]")
 
 
 def langid_scores(text: str | None) -> dict[str, int]:
@@ -122,11 +129,13 @@ def langid_scores(text: str | None) -> dict[str, int]:
     if not text:
         return scores
     lowered = text.lower()
+    get = _MARKER_LANGS.get
     for tok in _TOKEN_RE.findall(lowered):
-        for lang, markers in LANG_MARKERS.items():
-            if tok in markers:
+        langs = get(tok)
+        if langs:
+            for lang in langs:
                 scores[lang] += 1
-    scores["zh"] = sum(1 for ch in text if _is_cjk(ch))
+    scores["zh"] = len(_CJK_RE.findall(text))
     return scores
 
 
