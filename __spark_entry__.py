@@ -514,6 +514,33 @@ def q_doc_fingerprint(spark, sf):
     )
 
 
+def q_tz_format(spark, sf):
+    """F1/F2 strftime + timezone conversion (dqmtools.py:136,
+    plot_utils.py:17-19: trigger_time -> Europe/Zurich)."""
+    ev = _t(spark, sf, "events")
+    local_ts = F.from_utc_timestamp(F.col("ts"), "Europe/Zurich")
+    return (
+        ev.select(
+            F.date_format(local_ts, "yyyy-MM-dd HH").alias("zurich_hour"),
+        )
+        .groupBy("zurich_hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_record_select(spark, sf):
+    """P10/O6 record selection: slice one (user)'s rows by picking the
+    first key (dataframe_creator.py:168-189 select_record: default =
+    first index entry, then slice all rows of that record)."""
+    ev = _t(spark, sf, "events")
+    first_user = ev.agg(F.min("user_id").alias("user_id"))
+    return (
+        ev.join(F.broadcast(first_user), on="user_id", how="left_semi")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
 def q_salted_source_agg(spark, sf):
     """Skew-safe two-phase salted aggregation (north rule: salted keys
     for skewed domains).  Result is identical to a plain groupBy —
@@ -675,6 +702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "quality_keep_summary": q_quality_keep_summary,
         "doc_fingerprint": q_doc_fingerprint,
+        "tz_format": q_tz_format,
+        "record_select": q_record_select,
         "salted_source_agg": q_salted_source_agg,
         "desparsify_check": q_desparsify_check,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -957,6 +986,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM documents
             GROUP BY 1
+        """,
+        "tz_format": """
+            SELECT STRFTIME(TIMEZONE('Europe/Zurich', ts::TIMESTAMPTZ),
+                            '%Y-%m-%d %H') AS zurich_hour,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY 1
+        """,
+        "record_select": """
+            SELECT event_id, user_id, event_type
+            FROM events
+            WHERE user_id = (SELECT MIN(user_id) FROM events)
+            ORDER BY event_id
         """,
         "salted_source_agg": """
             SELECT source,

@@ -89,6 +89,9 @@ _PROC_FIELDS = (
 )
 _PROC_SCHEMA = T.StructType(_PROC_FIELDS)
 
+# flat field order of the fused-UDF output (checkpoint schema)
+PROC_FIELD_NAMES = [f.name for f in _PROC_FIELDS]
+
 
 def _process_texts(texts: pd.Series) -> pd.DataFrame:
     model, oov = _get_lm()
@@ -130,10 +133,13 @@ def process_text_udf(text: pd.Series) -> pd.DataFrame:
     return _process_texts(text)
 
 
-def pii_hits_map_col(struct_col: str = "_scrub") -> F.Column:
-    """Build the map<string,long> hits column from the scrub struct."""
+def pii_hits_map_col(struct_col: str | None = None, prefix: str = "hits_") -> F.Column:
+    """Build the map<string,long> hits column from the per-kind hit
+    columns — flat ``hits_<kind>`` columns by default, or fields of a
+    named struct column when ``struct_col`` is given."""
+    base = f"{struct_col}." if struct_col else ""
     pairs = []
     for k in textproc.SCRUB_KINDS:
         pairs.append(F.lit(k))
-        pairs.append(F.col(f"{struct_col}.hits_{k}"))
+        pairs.append(F.col(f"{base}{prefix}{k}"))
     return F.create_map(*pairs)

@@ -1,18 +1,32 @@
 """End-to-end quality pipeline: pages -> doc_results (+ metrics).
 
-Plan shape (one job, minimal shuffles):
+Two composable phases:
 
-  scan(url, warc_ts, html, lang)            -- column-pruned: text/html
-    -> extract_text_udf(html)               -- Arrow batch, Python x1
-    -> langid_udf / perplexity_udf / scrub_udf (same stage)
-    -> stats columns (JVM codegen, no Python)
-    -> broadcast join 5-row lang-threshold dim   (no shuffle)
-    -> rule columns -> reasons/keep              (same codegen stage)
-    -> write, repartitioned by part_key          (the ONLY shuffle)
+  PHASE 1 (Python, one fused Arrow stage):
+    scan(url, warc_ts, html, lang)           -- column-pruned to html
+      -> process_page_udf(html)              -- extract + langid +
+                                                perplexity + scrub in
+                                                ONE Arrow round-trip
+  PHASE 2 (JVM codegen, zero Python):
+      -> stats columns (regex expressions)
+      -> broadcast join 5-row lang-threshold dim   (no shuffle)
+      -> rule columns -> reasons/keep              (same codegen stage)
+      -> write, repartitioned by part_key          (the ONLY shuffle)
 
-At 100 TB this is scan → one narrow Python stage → one exchange for the
-partitioned write.  Rule metrics are a separate aggregation over the
-(cheap, already-computed) boolean columns.
+``run_pipeline`` fuses both phases into one job (scan -> one narrow
+Python stage -> codegen -> write).  ``run_pipeline_staged`` materializes
+phase 1 to parquet between the phases — the reference's
+write-dataframes-then-analyze flow (``scripts/write_dqm_dataframes.py``
+-> ``dqm_analyzer.py``, SURVEY S6/S7): the decoded/scrubbed text
+checkpoint is durable (resume re-reads it instead of re-extracting),
+and each phase runs as a pure stage.  A pure Python stage and a pure
+codegen stage each scale near-linearly with cores; the fused stage
+interleaves both per task and is more sensitive to batch pipelining
+(see bench.py), so the staged form is also what the scaling benchmark
+exercises.
+
+Rule metrics are a separate aggregation over the (cheap,
+already-computed) boolean columns.
 """
 
 from __future__ import annotations
@@ -22,6 +36,7 @@ from pyspark.sql import functions as F
 
 from dqmtools_spark.functions import textstats
 from dqmtools_spark.functions.udfs import (
+    PROC_FIELD_NAMES,
     pii_hits_map_col,
     process_page_udf,
     process_text_udf,
@@ -32,28 +47,32 @@ from dqmtools_spark.rules.core import RuleBuildOutcome, RuleRegistry, evaluate_r
 DEFAULT_PART_BUCKETS = 64
 
 
-def enrich_pages(
-    df: DataFrame,
-    spark: SparkSession,
-    reextract: bool = True,
-    n_buckets: int = DEFAULT_PART_BUCKETS,
-) -> DataFrame:
-    """pages -> pages + extracted text + lang_pred + stats + thresholds.
+def python_phase(df: DataFrame, reextract: bool = True) -> DataFrame:
+    """PHASE 1: pages -> flat (url, warc_ts, lang, text_ex, lang_pred,
+    perplexity, scrubbed_text, hits_*) — all Python work of the
+    pipeline, one fused Arrow stage, flattened so the result can be
+    checkpointed to parquet as-is.
 
     ``reextract=True`` recomputes text from html (the byte-identical
     invariant path); False trusts the incoming ``text`` column.
-
-    All four Python steps (extract, langid, perplexity, scrub) run
-    fused in ONE Arrow round-trip; everything downstream (stats, rules,
-    fold) is JVM codegen.
     """
     proc = (
         process_page_udf(F.col("html")) if reextract else process_text_udf(F.col("text"))
     )
-    df = df.withColumn("_proc", proc)
-    df = df.withColumn("text_ex", F.col("_proc.text_ex"))
-    df = df.withColumn("lang_pred", F.col("_proc.lang_pred"))
-    df = df.withColumn("perplexity", F.col("_proc.perplexity"))
+    return df.select("url", "warc_ts", "lang", proc.alias("_proc")).select(
+        "url", "warc_ts", "lang", *[F.col(f"_proc.{f}").alias(f) for f in PROC_FIELD_NAMES]
+    )
+
+
+def jvm_phase(
+    processed: DataFrame,
+    spark: SparkSession,
+    n_buckets: int = DEFAULT_PART_BUCKETS,
+) -> DataFrame:
+    """PHASE 2a: attach stats columns + partition key + per-lang
+    thresholds — pure whole-stage-codegen expressions over phase-1
+    output (fresh from the UDF or re-read from a checkpoint)."""
+    df = processed
     stats = textstats.all_stats(F.col("text_ex"))
     df = df.select("*", *[c.alias(name) for name, c in stats.items()])
     # deterministic partition key: hash-bucket of url (skew-free even
@@ -64,16 +83,21 @@ def enrich_pages(
     return join_lang_thresholds(df, spark)
 
 
-def run_pipeline(
+def enrich_pages(
+    df: DataFrame,
     spark: SparkSession,
-    pages: DataFrame,
-    registry: RuleRegistry | None = None,
     reextract: bool = True,
     n_buckets: int = DEFAULT_PART_BUCKETS,
+) -> DataFrame:
+    """pages -> pages + extracted text + lang_pred + stats + thresholds
+    (both phases, fused into one job)."""
+    return jvm_phase(python_phase(df, reextract=reextract), spark, n_buckets=n_buckets)
+
+
+def _fold_results(
+    enriched: DataFrame, registry: RuleRegistry
 ) -> tuple[DataFrame, list[RuleBuildOutcome]]:
-    """Full per-document pipeline; returns (doc_results, rule outcomes)."""
-    registry = registry or default_registry()
-    enriched = enrich_pages(pages, spark, reextract=reextract, n_buckets=n_buckets)
+    """PHASE 2b: rule columns -> reasons/keep -> doc_results."""
     evaluated, outcomes = evaluate_rules(enriched, registry)
     n_applied = max(len([o for o in outcomes if o.column is not None]), 1)
     # quality score: fraction of rules passed (diagnostic, not gate)
@@ -84,13 +108,49 @@ def run_pipeline(
         F.col("url"),
         F.col("keep"),
         F.col("reasons"),
-        F.col("_proc.scrubbed_text").alias("scrubbed_text"),
+        F.col("scrubbed_text"),
         F.col("lang_pred"),
         score,
-        pii_hits_map_col("_proc").alias("pii_hits"),
+        pii_hits_map_col(prefix="hits_").alias("pii_hits"),
         F.col("part_key"),
     )
     return result, outcomes
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    registry: RuleRegistry | None = None,
+    reextract: bool = True,
+    n_buckets: int = DEFAULT_PART_BUCKETS,
+) -> tuple[DataFrame, list[RuleBuildOutcome]]:
+    """Full per-document pipeline, one fused job; returns
+    (doc_results, rule outcomes)."""
+    registry = registry or default_registry()
+    enriched = enrich_pages(pages, spark, reextract=reextract, n_buckets=n_buckets)
+    return _fold_results(enriched, registry)
+
+
+def run_pipeline_staged(
+    spark: SparkSession,
+    pages: DataFrame,
+    checkpoint_path: str,
+    registry: RuleRegistry | None = None,
+    reextract: bool = True,
+    n_buckets: int = DEFAULT_PART_BUCKETS,
+) -> tuple[DataFrame, list[RuleBuildOutcome]]:
+    """Pipeline with the phase-1 output materialized to
+    ``checkpoint_path`` (parquet) — the durable decoded-text checkpoint
+    (SURVEY S6/S7).  Returns the same (doc_results, outcomes) contract;
+    the returned DataFrame reads from the checkpoint, so downstream
+    actions never re-run the Python stage."""
+    registry = registry or default_registry()
+    python_phase(pages, reextract=reextract).write.mode("overwrite").parquet(
+        checkpoint_path
+    )
+    processed = spark.read.parquet(checkpoint_path)
+    enriched = jvm_phase(processed, spark, n_buckets=n_buckets)
+    return _fold_results(enriched, registry)
 
 
 def rule_metrics(evaluated: DataFrame, prefix: str = "pass_") -> DataFrame:
