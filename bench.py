@@ -179,12 +179,30 @@ def main() -> None:
         scaling_one(sys.argv[sys.argv.index("--scaling-one") + 1], n_docs)
         return
 
-    if "--scaling" in sys.argv:
-        # larger corpus than the throughput bench: strong scaling needs
-        # per-core work >> fixed stage-scheduling overhead
+    if "--scaling-threads" in sys.argv:
+        # secondary evidence: one JVM, local[N] vs local[4N] task
+        # threads (known to under-report — see scripts/scaling_exec.py)
         n_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "400000"))
         res = scaling_run(n_scaling)
         print(json.dumps({"scaling": res, "n_docs": n_scaling}))
+        return
+
+    if "--scaling" in sys.argv:
+        # primary evidence: N vs 4N executor PROCESSES (each its own
+        # JVM + Python workers, like real executors) on disjoint shards
+        import subprocess
+
+        n_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "120000"))
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "scripts", "scaling_exec.py"),
+                "--docs", str(n_scaling), "--cpus", "2", "--repeats", "3",
+            ],
+            capture_output=True, text=True, check=True,
+        )
+        print(out.stdout.strip().splitlines()[-1])
         return
 
     spark = _mk_spark(cpus)
