@@ -85,8 +85,8 @@ def build_ann_index(
     partitioned/bucketed by this column so probes prune partitions."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    udf = hyperplane_bucket_udf(dim, n_planes, seed)
-    return df.withColumn("bucket", udf(F.col(vec_col)))
+    bucket_udf = hyperplane_bucket_udf(dim, n_planes, seed)
+    return df.withColumn("bucket", bucket_udf(F.col(vec_col)))
 
 
 def ann_query(
