@@ -73,8 +73,50 @@ _RE_TOX = re.compile(
 SCRUB_KINDS = [name for name, _, _ in PII_PATTERNS] + ["toxicity"]
 
 
+_RE_DIGIT = re.compile(r"\d")
+
+# Cheap presence guards: a pattern whose REQUIRED characters are absent
+# from the input cannot match, so its scan may be skipped.  Safe by
+# construction: replacements only delete text and insert fixed tokens
+# (all containing '<', none containing '@', digits, or lexicon words),
+# so a skip decision made on the ORIGINAL text stays valid after
+# earlier passes rewrite it — a skipped pass could only ever have found
+# zero matches.  ~75% of web docs carry no PII at all; this turns five
+# regex scans into one-or-two cheap C probes for them.
+
+
 def scrub_text(text: str | None) -> tuple[str | None, dict[str, int]]:
-    """Replace PII/toxic spans; return (scrubbed, per-kind hit counts)."""
+    """Replace PII/toxic spans; return (scrubbed, per-kind hit counts).
+
+    Application order (email, phone, ssn, ipv4, toxicity) is part of
+    the byte-identical contract — each pass runs on the output of the
+    previous one.  (A fused single-pass alternation is NOT equivalent:
+    e.g. '(555) 123-4567@x.io' → sequential gives '(555) <EMAIL>',
+    fused would give '<PHONE>@x.io'.)
+    """
+    hits: dict[str, int] = {k: 0 for k in SCRUB_KINDS}
+    if text is None:
+        return None, hits
+    out = text
+    has_digit = _RE_DIGIT.search(text) is not None
+    for name, pat, repl in PII_PATTERNS:
+        if name == "email":
+            if "@" not in text:
+                continue
+        elif not has_digit:
+            continue
+        out, n = pat.subn(repl, out)
+        hits[name] = n
+    low = text.lower()
+    if any(w in low for w in TOXICITY_LEXICON):
+        out, n = _RE_TOX.subn("<TOX>", out)
+        hits["toxicity"] = n
+    return out, hits
+
+
+def scrub_text_unguarded(text: str | None) -> tuple[str | None, dict[str, int]]:
+    """Reference form without the presence guards — used by the
+    property test that proves guard equivalence."""
     hits: dict[str, int] = {k: 0 for k in SCRUB_KINDS}
     if text is None:
         return None, hits

@@ -185,3 +185,33 @@ def test_embedding_cosine_pairs_recall(spark):
     }
     assert got <= exact          # verification step: zero false positives
     assert len(got) >= 0.8 * len(exact)  # LSH recall on near-identical pairs
+
+
+# ---------------------------------------------------- scrub guard equiv
+
+
+def test_scrub_guards_equivalent_to_unguarded():
+    """The presence guards may never change output — property-checked
+    over the synth corpus plus adversarial boundary strings."""
+    from dqmtools_spark.functions.textproc import (
+        scrub_text,
+        scrub_text_unguarded,
+    )
+    from dqmtools_spark.synth import gen_page
+
+    adversarial = [
+        None,
+        "",
+        "no pii here at all",
+        "(555) 123-4567@x.io",          # fused-pass divergence case
+        "bob@x.io 10.0.0.1 123-45-6789 (555) 201-0001 FRAKKING",
+        "email@only.com",
+        "just digits 1234567890",
+        "frakking embedded: xfrakkingx frakking.",
+        "GORRAM Gorram gorram",
+        "555-123-4567bob@x.io",
+        "a@b.cd@e.fg",
+        "@ alone and 1 digit",
+    ] + [gen_page(11, i)["text"] for i in range(3000)]
+    for t in adversarial:
+        assert scrub_text(t) == scrub_text_unguarded(t), repr(t)
