@@ -514,6 +514,43 @@ def q_doc_fingerprint(spark, sf):
     )
 
 
+def q_pivot_matrix(spark, sf):
+    """A10 vstack/pivot: per-user event-type count matrix
+    (wibeth_plots.py:175,181 channel x time matrix, as groupBy+pivot)."""
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 20)
+    types = ["click", "view", "purchase", "login", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def q_channel_stats(spark, sf):
+    """G10 per-group stats incl. exact median + sample stddev
+    (the reference consumes adc_mean/adc_rms/adc_median per channel,
+    wibeth_tests.py:241-242; recomputed natively here)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 3).alias("avg_value"),
+        F.round(F.stddev("value"), 3).alias("std_value"),
+        F.round(F.median("value"), 3).alias("median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_cube_metrics(spark, sf):
+    """Metrics cube: per-(lang, source), per-lang, per-source and grand
+    totals in one pass — the rebuild's rule_metrics shape (SURVEY §2.5
+    'nested suite summaries')."""
+    d = _t(spark, sf, "documents")
+    return d.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def q_tz_format(spark, sf):
     """F1/F2 strftime + timezone conversion (dqmtools.py:136,
     plot_utils.py:17-19: trigger_time -> Europe/Zurich)."""
@@ -702,6 +739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "quality_keep_summary": q_quality_keep_summary,
         "doc_fingerprint": q_doc_fingerprint,
+        "pivot_matrix": q_pivot_matrix,
+        "channel_stats": q_channel_stats,
+        "cube_metrics": q_cube_metrics,
         "tz_format": q_tz_format,
         "record_select": q_record_select,
         "salted_source_agg": q_salted_source_agg,
@@ -986,6 +1026,33 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM documents
             GROUP BY 1
+        """,
+        "pivot_matrix": """
+            SELECT user_id,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'login') AS BIGINT) AS login,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+            FROM events
+            WHERE user_id < 20
+            GROUP BY user_id
+        """,
+        "channel_stats": """
+            SELECT event_type,
+                   ROUND(AVG(value), 3) AS avg_value,
+                   ROUND(STDDEV_SAMP(value), 3) AS std_value,
+                   ROUND(MEDIAN(value), 3) AS median_value,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY event_type
+        """,
+        "cube_metrics": """
+            SELECT lang, source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY CUBE (lang, source)
         """,
         "tz_format": """
             SELECT STRFTIME(TIMEZONE('Europe/Zurich', ts::TIMESTAMPTZ),
