@@ -56,6 +56,7 @@ PROGRESS_SCHEMA = T.StructType(
         T.StructField("status", T.StringType(), nullable=False),
         T.StructField("docs_in", T.LongType(), nullable=False),
         T.StructField("docs_out", T.LongType(), nullable=False),
+        T.StructField("run_id", T.StringType(), nullable=False),
         T.StructField("updated", T.TimestampType(), nullable=False),
     ]
 )

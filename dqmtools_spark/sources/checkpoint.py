@@ -115,6 +115,9 @@ class CheckpointedRun:
                 "status": "done",
                 "docs_in": int(per_bucket.get(b, (0, 0))[0]),
                 "docs_out": int(per_bucket.get(b, (0, 0))[1]),
+                # lineage: which run completed this bucket — a resumed
+                # job's buckets carry the resuming run's id
+                "run_id": self.run_id,
                 "updated": now,
             }
             for b in pending
