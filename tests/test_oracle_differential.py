@@ -91,3 +91,12 @@ def test_every_query_runs(spark):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_rows_only_query_runs(spark, name):
+    """Driver fallback check for non-SQL-expressible entries: the query
+    must run at sf and produce a stable schema with >= 0 rows."""
+    df = _QUERIES[name](spark, SF_DIR)
+    assert df.schema.fields, name
+    assert df.count() >= 0, name
