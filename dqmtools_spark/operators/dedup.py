@@ -270,6 +270,54 @@ def simhash64_udf(text: pd.Series) -> pd.Series:
     return text.map(sim)
 
 
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, text) -> (id, sig) 64-bit SimHash, entirely JVM-side.
+
+    Same explode + hash-aggregate shape as :func:`minhash_signatures`:
+    distinct token hashes explode to rows, 64 per-bit vote sums run as
+    ONE whole-stage-codegen aggregate (map-side partials collapse back
+    to one row per doc before the exchange), and the signature
+    assembles with a bitwiseOR chain.  Vote semantics match
+    :func:`simhash64_udf` (tie -> bit set; empty token set -> 0;
+    null text -> null) but the token hash family is xxhash64, so the
+    VALUES differ from the md5-based UDF — use one or the other
+    consistently.
+    """
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: w != ""
+    )  # split("") yields [""] — drop it so empty text means zero tokens
+    toks = F.array_distinct(F.transform(words, lambda w: F.xxhash64(w)))
+    ex = df.select(
+        F.col(id_col),
+        F.col(text_col).isNotNull().alias("_has"),
+        F.explode_outer(toks).alias("_h"),
+    )
+    one = F.lit(1).cast("long")
+    votes = [
+        F.sum(
+            F.when(F.col("_h").isNull(), F.lit(0))
+            .when(F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(one) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"_v{i}")
+        for i in range(64)
+    ]
+    agg = ex.groupBy(id_col).agg(
+        F.max("_has").alias("_has"), F.count("_h").alias("_n"), *votes
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_v{i}") >= 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select(
+        F.col(id_col),
+        F.when(~F.col("_has"), F.lit(None).cast("long"))
+        .when(F.col("_n") == 0, F.lit(0).cast("long"))
+        .otherwise(sig)
+        .alias("_sig"),
+    )
+
+
 def simhash_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
@@ -280,8 +328,8 @@ def simhash_pairs(
     band-equijoins (shuffle on 16-bit band value), then bit_count
     verifies. No all-pairs comparison.
     """
-    sig = df.select(
-        F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("_sig")
+    sig = simhash_signatures(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id", text_col
     )
     bands = sig.select(
         "_id",

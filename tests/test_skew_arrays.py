@@ -215,3 +215,37 @@ def test_scrub_guards_equivalent_to_unguarded():
     ] + [gen_page(11, i)["text"] for i in range(3000)]
     for t in adversarial:
         assert scrub_text(t) == scrub_text_unguarded(t), repr(t)
+
+
+# -------------------------------------------------------- simhash (JVM)
+
+
+def test_simhash_signatures_properties(spark):
+    from dqmtools_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    base = ("the quick brown fox jumps over the lazy dog " * 6).split()
+    near = list(base); near[7] = "sleepy"          # 1 of ~54 tokens changed
+    far = ("completely different content about spark engines and parquet "
+           * 5).split()
+    df = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(base)), (3, " ".join(near)),
+         (4, " ".join(far)), (5, None), (6, "   ")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["_sig"] for r in
+            simhash_signatures(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]                      # deterministic, equal text
+    assert sigs[5] is None                         # null text
+    assert sigs[6] == 0                            # empty token set
+    ham_near = bin((sigs[1] ^ sigs[3]) & (2**64 - 1)).count("1")
+    ham_far = bin((sigs[1] ^ sigs[4]) & (2**64 - 1)).count("1")
+    assert ham_near < 16 < ham_far                 # near-dup vs unrelated
+
+    # banding guarantees recall only for hamming <= bands-1 = 3; verify
+    # the exact-duplicate pair, precision of every reported pair, and
+    # that unrelated docs never pair up
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(df, "text", "doc_id", max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0
+    assert all(h <= 16 for h in pairs.values())
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
