@@ -110,6 +110,9 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
         "cosine_knn",
         "minhash_pairs",
         "simhash_pairs",
+        "salted_source_agg",
+        "desparsify_check",
+        "cube_metrics",
     ]
     qs = entry_mod.queries()
     out: dict[str, float] = {}
