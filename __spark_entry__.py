@@ -686,6 +686,21 @@ def q_ann_topk(spark, sf):
     )
 
 
+def q_ivf_topk(spark, sf):
+    """IVF ANN: deterministic k-means clusters, probe-pruned scan."""
+    from dqmtools_spark.operators.similarity import build_ivf_index, ivf_query
+
+    e = _t(spark, sf, "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    indexed, centroids = build_ivf_index(
+        e.filter(F.col("vec_id") != 0), "embedding", "vec_id",
+        n_centroids=8, n_iters=2,
+    )
+    return ivf_query(
+        indexed, centroids, "embedding", "vec_id", qvec, k=10, n_probe=4
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def q_pipeline_full(spark, sf):
     """Full pages pipeline (UDF path) over documents-as-pages."""
     from dqmtools_spark.pipeline import run_pipeline
@@ -752,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "pipeline_full": q_pipeline_full,
     }
 

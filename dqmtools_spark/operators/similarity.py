@@ -111,3 +111,97 @@ def ann_query(
 
     cand = indexed.filter(F.col("bucket").isin(buckets))
     return cosine_topk(cand, vec_col, id_col, query, k)
+
+
+# ------------------------------------------------------------- IVF ANN
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF index: deterministic k-means, rows tagged with ``cluster``.
+
+    Returns (indexed_df, centroids).  Centroid math:
+
+    - init: the ``n_centroids`` rows with smallest ``xxhash64(id)`` —
+      a deterministic uniform sample (no random(), stable across runs
+      and cluster sizes).
+    - Lloyd iterations: assignment is a numpy matmul inside a pandas
+      UDF (centroids closed over, one BLAS call per Arrow batch);
+      centroid update is ``posexplode`` + ``groupBy(cluster, dim).avg``
+      — a shuffle of O(rows x dim) scalars with map-side combine, and
+      only (n_centroids x dim) numbers ever reach the driver.
+
+    At 10^12 rows the per-iteration cost is one narrow Python stage +
+    one aggregate; persist the final ``indexed_df`` partitioned by
+    ``cluster`` so probes prune partitions.
+    """
+    sample = (
+        df.select(vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
+
+    for _ in range(n_iters):
+        assign = _assign_udf(centroids)
+        assigned = df.select(
+            F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster")
+        )
+        dims = assigned.select(
+            "cluster", F.posexplode(F.col(vec_col).cast("array<double>"))
+        )
+        new = (
+            dims.groupBy("cluster", "pos")
+            .agg(F.avg("col").alias("v"))
+            .collect()
+        )
+        for r in new:
+            centroids[r["cluster"], r["pos"]] = r["v"]
+
+    assign = _assign_udf(centroids)
+    indexed = df.withColumn("cluster", assign(F.col(vec_col)))
+    return indexed, centroids
+
+
+def _assign_udf(centroids: np.ndarray):
+    """pandas UDF: vector -> nearest-centroid id (cosine, batch matmul)."""
+    c = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vec: pd.Series) -> pd.Series:
+        mat = np.vstack(vec.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ c.T
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_query(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Scan only the ``n_probe`` clusters whose centroids are nearest
+    the query (cosine), then exact cosine top-k within them."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    probe = np.argsort(-(cn @ qn))[:n_probe]
+    cand = indexed.filter(F.col("cluster").isin([int(p) for p in probe]))
+    return cosine_topk(cand, vec_col, id_col, query, k)

@@ -249,3 +249,37 @@ def test_simhash_signatures_properties(spark):
     assert pairs[(1, 2)] == 0
     assert all(h <= 16 for h in pairs.values())
     assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+
+
+# ------------------------------------------------------------ IVF ANN
+
+
+def test_ivf_ann_recall_vs_exact(spark, sf_dir):
+    from dqmtools_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_query,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = list(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    rest = e.filter(F.col("vec_id") != 0)
+
+    indexed, centroids = build_ivf_index(rest, "embedding", "vec_id",
+                                         n_centroids=8, n_iters=2)
+    approx = {r["vec_id"] for r in
+              ivf_query(indexed, centroids, "embedding", "vec_id",
+                        qvec, k=10, n_probe=4).collect()}
+    exact = {r["vec_id"] for r in
+             cosine_topk(rest, "embedding", "vec_id", qvec, k=10).collect()}
+    assert len(approx) == 10
+    assert len(approx & exact) >= 6      # recall@10 with half the clusters probed
+
+    # determinism: rebuilding the index gives identical assignments
+    indexed2, centroids2 = build_ivf_index(rest, "embedding", "vec_id",
+                                           n_centroids=8, n_iters=2)
+    import numpy as np
+    assert np.allclose(centroids, centroids2)
+    a1 = {r["vec_id"]: r["cluster"] for r in indexed.collect()}
+    a2 = {r["vec_id"]: r["cluster"] for r in indexed2.collect()}
+    assert a1 == a2
