@@ -120,4 +120,42 @@ def all_stats(text: Column) -> dict[str, Column]:
         "stopword_fraction": stopword_fraction(text),
         "repeated_line_fraction": repeated_line_fraction(text),
         "alpha_word_fraction": alpha_word_fraction(text),
+        "ellipsis_line_fraction": ellipsis_line_fraction(text),
+        "bullet_line_fraction": bullet_line_fraction(text),
+        "has_curly_brace": has_curly_brace(text),
     }
+
+
+def _nonempty_lines(text: Column) -> Column:
+    return F.filter(lines(text), lambda x: F.length(F.trim(x)) > 0)
+
+
+def ellipsis_line_fraction(text: Column) -> Column:
+    """Gopher signal: fraction of lines ending in an ellipsis
+    (truncated boilerplate/nav text)."""
+    ls = _nonempty_lines(text)
+    hits = F.size(
+        F.filter(ls, lambda x: x.endswith("...") | x.endswith("…"))
+    )
+    return F.when(F.size(ls) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(ls)
+    )
+
+
+def bullet_line_fraction(text: Column) -> Column:
+    """Gopher signal: fraction of lines that are bullet items."""
+    ls = _nonempty_lines(text)
+    hits = F.size(
+        F.filter(
+            ls,
+            lambda x: x.startswith("- ") | x.startswith("* ") | x.startswith("• "),
+        )
+    )
+    return F.when(F.size(ls) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(ls)
+    )
+
+
+def has_curly_brace(text: Column) -> Column:
+    """C4 signal: '{' almost always means leaked code/templating."""
+    return F.contains(text, F.lit("{"))

@@ -29,6 +29,8 @@ THRESHOLDS = {
     "max_symbol_ratio": 0.08,
     "max_repeated_line_fraction": 0.30,
     "min_alpha_word_fraction": 0.60,
+    "max_ellipsis_line_fraction": 0.30,
+    "max_bullet_line_fraction": 0.90,
 }
 
 # Per-language thresholds (broadcast dim table — R9/J2).
@@ -84,6 +86,18 @@ def default_registry() -> RuleRegistry:
     mk(
         "alpha_words", "c4", ("alpha_word_fraction",),
         lambda df: df["alpha_word_fraction"] >= t["min_alpha_word_fraction"],
+    )
+    mk(
+        "ellipsis_lines", "gopher", ("ellipsis_line_fraction",),
+        lambda df: df["ellipsis_line_fraction"] <= t["max_ellipsis_line_fraction"],
+    )
+    mk(
+        "bullet_lines", "gopher", ("bullet_line_fraction",),
+        lambda df: df["bullet_line_fraction"] <= t["max_bullet_line_fraction"],
+    )
+    mk(
+        "no_curly_braces", "c4", ("has_curly_brace",),
+        lambda df: ~df["has_curly_brace"],
     )
     # per-language thresholds arrive via broadcast join (J2/R9)
     mk(

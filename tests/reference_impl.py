@@ -43,6 +43,19 @@ def _stats(text: str) -> dict:
         "alpha_word_fraction": (
             sum(1 for t in toks if any(c.isalpha() for c in t)) / n if n else 0.0
         ),
+        "ellipsis_line_fraction": (
+            sum(1 for ln in lines if ln.endswith("...") or ln.endswith("…"))
+            / len(lines)
+            if lines
+            else 0.0
+        ),
+        "bullet_line_fraction": (
+            sum(1 for ln in lines if ln.startswith(("- ", "* ", "• ")))
+            / len(lines)
+            if lines
+            else 0.0
+        ),
+        "has_curly_brace": "{" in text,
     }
 
 
@@ -73,6 +86,12 @@ def label_pages(pages: pd.DataFrame) -> pd.DataFrame:
             reasons.append("repeated_lines")
         if not (s["alpha_word_fraction"] >= t["min_alpha_word_fraction"]):
             reasons.append("alpha_words")
+        if not (s["ellipsis_line_fraction"] <= t["max_ellipsis_line_fraction"]):
+            reasons.append("ellipsis_lines")
+        if not (s["bullet_line_fraction"] <= t["max_bullet_line_fraction"]):
+            reasons.append("bullet_lines")
+        if s["has_curly_brace"]:
+            reasons.append("no_curly_braces")
         if not (s["stopword_fraction"] >= thr["thr_stopword_min"]):
             reasons.append("stopword_fraction")
         if ppl is None or not (ppl <= thr["thr_ppl_max"]):

@@ -94,3 +94,25 @@ def test_latest_per_key_dedup(spark):
         for r in latest_per_key(df, ["name"], "last_update").collect()
     }
     assert got == {"a": 2, "b": 1}
+
+
+def test_new_gopher_c4_rules_fire(spark):
+    from dqmtools_spark.pipeline import run_pipeline
+
+    good_body = "the and of to in is that with for was are this have from not " * 5
+    docs = [
+        ("u://ellipsis", ("the quick brown fox is here today...\n" * 10) + good_body),
+        ("u://bullets", ("- item one of the list\n" * 30) + "the and of\n"),
+        ("u://curly", good_body + " function() { return 1; }"),
+        ("u://clean", good_body),
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, t.encode(), None, "en") for u, t in docs],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    res, _ = run_pipeline(spark, pages)
+    by = {r["url"]: r for r in res.collect()}
+    assert "ellipsis_lines" in by["u://ellipsis"]["reasons"]
+    assert "bullet_lines" in by["u://bullets"]["reasons"]
+    assert "no_curly_braces" in by["u://curly"]["reasons"]
+    assert by["u://clean"]["keep"] is True
