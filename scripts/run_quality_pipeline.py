@@ -53,6 +53,10 @@ def main() -> None:
     ap.add_argument("--run-id", default="run")
     ap.add_argument("--no-reextract", action="store_true",
                     help="trust incoming text column instead of decoding html")
+    ap.add_argument("--staged", action="store_true",
+                    help="materialize the decoded-text checkpoint between the "
+                         "Python and JVM phases (<output>/text_checkpoint) so "
+                         "rule changes never re-run extraction")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -77,9 +81,17 @@ def main() -> None:
         ap.error("one of --input / --synth-docs is required")
 
     t0 = time.perf_counter()
-    result, outcomes = run_pipeline(
-        spark, pages, reextract=not args.no_reextract, n_buckets=args.n_buckets
-    )
+    if args.staged:
+        from dqmtools_spark.pipeline import run_pipeline_staged
+
+        result, outcomes = run_pipeline_staged(
+            spark, pages, os.path.join(args.output, "text_checkpoint"),
+            reextract=not args.no_reextract, n_buckets=args.n_buckets,
+        )
+    else:
+        result, outcomes = run_pipeline(
+            spark, pages, reextract=not args.no_reextract, n_buckets=args.n_buckets
+        )
     ckpt = CheckpointedRun(spark, args.output, run_id=args.run_id)
     summary = ckpt.run(result, n_buckets=args.n_buckets)
 
