@@ -87,3 +87,21 @@ def test_minhash_banded_join_not_cartesian(spark, sf_dir):
     plan = explain_str(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_staged_jvm_phase_is_pure_codegen(spark, tmp_path):
+    """Phase 2 of the staged pipeline (stats + rules from the text
+    checkpoint) must contain ZERO Python evals — that is the property
+    that lets rules re-run without re-extracting at 100 TB."""
+    from dqmtools_spark.pipeline import _fold_results, jvm_phase, python_phase
+    from dqmtools_spark.rules.builtin import default_registry
+    from dqmtools_spark.synth import synth_pages
+
+    ckpt = str(tmp_path / "ck")
+    python_phase(synth_pages(spark, 50, seed=2)).write.parquet(ckpt)
+    enriched = jvm_phase(spark.read.parquet(ckpt), spark)
+    result, _ = _fold_results(enriched, default_registry())
+    audit = plan_audit(result)
+    assert audit["python_evals"] == 0
+    assert audit["shuffle_exchanges"] == 0
+    assert audit["broadcast_joins"] >= 1
