@@ -45,17 +45,28 @@ LANG_THRESHOLDS = [
 ]
 
 
-def lang_thresholds_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(pd.DataFrame(LANG_THRESHOLDS))
+def lang_thresholds_df(
+    spark: SparkSession, rows: list[dict] | None = None
+) -> DataFrame:
+    return spark.createDataFrame(pd.DataFrame(rows or LANG_THRESHOLDS))
 
 
-def default_registry() -> RuleRegistry:
+def default_registry(thresholds: dict | None = None) -> RuleRegistry:
     """Rules over the stats columns produced by the pipeline.
 
     Each is a pure Column expression (JVM-side); ``requires`` drives the
-    missing-input→WARNING path (R7).
+    missing-input→WARNING path (R7).  ``thresholds`` overrides any
+    subset of :data:`THRESHOLDS` — the reference's per-detector-config
+    threshold selection (``scripts/dqm_analyzer.py:29-45``, R9) as a
+    config dict; unknown keys raise (catch typos at build, not at
+    100 TB runtime).
     """
-    t = THRESHOLDS
+    t = dict(THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(t)
+        if unknown:
+            raise ValueError(f"unknown threshold keys: {sorted(unknown)}")
+        t.update(thresholds)
     reg = RuleRegistry()
 
     def mk(name: str, group: str, requires: tuple[str, ...], build):
@@ -111,6 +122,10 @@ def default_registry() -> RuleRegistry:
     return reg
 
 
-def join_lang_thresholds(df: DataFrame, spark: SparkSession) -> DataFrame:
+def join_lang_thresholds(
+    df: DataFrame, spark: SparkSession, rows: list[dict] | None = None
+) -> DataFrame:
     """Broadcast the 5-row threshold dim onto the doc stream (J2)."""
-    return df.join(F.broadcast(lang_thresholds_df(spark)), on="lang_pred", how="left")
+    return df.join(
+        F.broadcast(lang_thresholds_df(spark, rows)), on="lang_pred", how="left"
+    )

@@ -57,6 +57,9 @@ def main() -> None:
                     help="materialize the decoded-text checkpoint between the "
                          "Python and JVM phases (<output>/text_checkpoint) so "
                          "rule changes never re-run extraction")
+    ap.add_argument("--config", help="JSON file overriding rule thresholds "
+                                     "(the reference's per-detector config, "
+                                     "dqm_analyzer.py:29-45)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -80,17 +83,24 @@ def main() -> None:
     else:
         ap.error("one of --input / --synth-docs is required")
 
+    registry = None
+    if args.config:
+        with open(args.config) as f:
+            registry = default_registry(json.load(f))
+
     t0 = time.perf_counter()
     if args.staged:
         from dqmtools_spark.pipeline import run_pipeline_staged
 
         result, outcomes = run_pipeline_staged(
             spark, pages, os.path.join(args.output, "text_checkpoint"),
+            registry=registry,
             reextract=not args.no_reextract, n_buckets=args.n_buckets,
         )
     else:
         result, outcomes = run_pipeline(
-            spark, pages, reextract=not args.no_reextract, n_buckets=args.n_buckets
+            spark, pages, registry=registry,
+            reextract=not args.no_reextract, n_buckets=args.n_buckets
         )
     ckpt = CheckpointedRun(spark, args.output, run_id=args.run_id)
     summary = ckpt.run(result, n_buckets=args.n_buckets)
@@ -102,7 +112,7 @@ def main() -> None:
         enriched, _ = evaluate_rules(
             enrich_pages(pages, spark, reextract=not args.no_reextract,
                          n_buckets=args.n_buckets),
-            default_registry(),
+            registry or default_registry(),
         )
         write_table(rule_metrics(enriched), os.path.join(args.output, "rule_metrics"))
 

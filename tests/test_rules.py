@@ -116,3 +116,25 @@ def test_new_gopher_c4_rules_fire(spark):
     assert "bullet_lines" in by["u://bullets"]["reasons"]
     assert "no_curly_braces" in by["u://curly"]["reasons"]
     assert by["u://clean"]["keep"] is True
+
+
+def test_threshold_config_override(spark):
+    from dqmtools_spark.pipeline import run_pipeline
+    from dqmtools_spark.rules.builtin import default_registry
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown threshold keys"):
+        default_registry({"min_wrd_count": 1})
+
+    body = "the and of to in is that with for was are this have from not " * 2
+    pages = spark.createDataFrame(
+        [("u://d", None, body.encode(), None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    base, _ = run_pipeline(spark, pages)
+    strict, _ = run_pipeline(
+        spark, pages, registry=default_registry({"min_word_count": 500})
+    )
+    assert base.first()["keep"] is True
+    r = strict.first()
+    assert r["keep"] is False and "min_word_count" in r["reasons"]
