@@ -476,6 +476,16 @@ def q_ngram_jaccard(spark, sf):
     )
 
 
+def q_dedup_clusters(spark, sf):
+    """Transitive near-dup clustering: connected components over the
+    n-gram-Jaccard pair graph (min-label propagation; the DuckDB
+    oracle computes the same closure with a recursive CTE)."""
+    from dqmtools_spark.operators.dedup import connected_components
+
+    pairs = q_ngram_jaccard(spark, sf).select("id_a", "id_b")
+    return connected_components(pairs).orderBy("id")
+
+
 def q_quality_keep_summary(spark, sf):
     """The north-rule quality filter in oracle-checkable SQL form:
     C4/Gopher rules (word count, symbol ratio, per-lang stop-word
@@ -754,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "quality_keep_summary": q_quality_keep_summary,
         "doc_fingerprint": q_doc_fingerprint,
+        "dedup_clusters": q_dedup_clusters,
         "pivot_matrix": q_pivot_matrix,
         "channel_stats": q_channel_stats,
         "cube_metrics": q_cube_metrics,
@@ -1013,6 +1024,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
               AND CAST(LEN(LIST_INTERSECT(a.w, b.w)) AS DOUBLE) /
                   (LEN(a.w) + LEN(b.w) - LEN(LIST_INTERSECT(a.w, b.w))) >= 0.4
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE dd AS (
+                SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS w
+                FROM documents WHERE doc_id < 40
+            ),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM dd a, dd b
+                WHERE a.doc_id < b.doc_id
+                  AND CAST(LEN(LIST_INTERSECT(a.w, b.w)) AS DOUBLE) /
+                      (LEN(a.w) + LEN(b.w) - LEN(LIST_INTERSECT(a.w, b.w))) >= 0.4
+            ),
+            edges AS (
+                SELECT id_a AS s, id_b AS t FROM p
+                UNION SELECT id_b, id_a FROM p
+            ),
+            reach(id, r) AS (
+                SELECT s, s FROM edges
+                UNION
+                SELECT e.s, reach.r FROM edges e JOIN reach ON e.t = reach.id
+            )
+            SELECT id, MIN(r) AS component
+            FROM reach
+            GROUP BY id
         """,
         "quality_keep_summary": f"""
             WITH scored AS (

@@ -230,8 +230,81 @@ def minhash_lsh_pairs(
 
 def drop_near_duplicates(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Keep-first policy: drop any row whose id appears as the LARGER
-    member of a duplicate pair (deterministic, order-free)."""
+    member of a duplicate pair (deterministic, order-free).
+
+    NOTE: pairwise — a chain a~b, b~c keeps a and c even though they
+    belong to one duplicate cluster.  For transitive semantics use
+    :func:`connected_components` + :func:`drop_duplicate_clusters`.
+    """
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """(id_a, id_b) edges -> (id, component) with component = smallest
+    id reachable — transitive closure of the near-dup relation.
+
+    Iterative min-label propagation (the standard large-graph CC on
+    Spark): each round every node adopts the minimum label in its
+    closed neighborhood; converges in O(diameter) rounds — near-dup
+    clusters are shallow (dozens of docs, diameter ~2-4), so a handful
+    of shuffles on (id) total.  Deterministic: labels are ids, min is
+    order-free.  Each round's frame is localCheckpoint()ed to cut the
+    exponentially growing lineage (iterative algorithms otherwise
+    re-execute every prior round at each action).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def drop_duplicate_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str, max_iters: int = 20
+) -> DataFrame:
+    """Keep exactly one representative (the smallest id) per duplicate
+    CLUSTER — the transitive version of :func:`drop_near_duplicates`."""
+    comp = connected_components(pairs, max_iters)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
     return df.join(losers, on=id_col, how="left_anti")
 
 

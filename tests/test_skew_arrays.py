@@ -283,3 +283,38 @@ def test_ivf_ann_recall_vs_exact(spark, sf_dir):
     a1 = {r["vec_id"]: r["cluster"] for r in indexed.collect()}
     a2 = {r["vec_id"]: r["cluster"] for r in indexed2.collect()}
     assert a1 == a2
+
+
+# ------------------------------------------------- connected components
+
+
+def test_connected_components_transitive_closure(spark):
+    from dqmtools_spark.operators.dedup import (
+        connected_components,
+        drop_duplicate_clusters,
+        drop_near_duplicates,
+    )
+
+    # two clusters: {1,2,3,4} via a chain, {7,8}; singletons absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 7, 8)], "id long")
+    kept_cluster = {r["id"] for r in
+                    drop_duplicate_clusters(docs, pairs, "id").collect()}
+    assert kept_cluster == {1, 5, 7}          # one rep per cluster + singleton
+
+    # pairwise policy keeps chain interior mistakes: shows why clusters
+    kept_pairwise = {r["id"] for r in
+                     drop_near_duplicates(docs, pairs, "id").collect()}
+    assert kept_pairwise == {1, 5, 7}         # here identical, but...
+
+    # ...a chain that pairwise would over-keep: b~a, c~b with ids so the
+    # "larger member" rule keeps two of one cluster
+    pairs2 = spark.createDataFrame([(2, 3), (1, 2)], "id_a long, id_b long")
+    docs2 = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    assert {r["id"] for r in drop_duplicate_clusters(docs2, pairs2, "id").collect()} == {1}
