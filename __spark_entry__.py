@@ -658,57 +658,113 @@ def q_cosine_dup_pairs(spark, sf):
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible (rows-only checks): LSH dedup, ANN, full pipeline
+# LSH dedup / ANN / spectral — engine-portable tiers with FULL-output
+# DuckDB oracles (discrete decisions are exact integer math; see
+# dqmtools_spark/oracles.py for the matching SQL generators)
 # ---------------------------------------------------------------------------
+
+# deterministic integer hyperplanes shared by the embedding LSH queries
+# (md5-derived literals; the oracle SQL embeds the same numbers)
+_EMB_DIM = 64
+_N_PLANES = 6
+
+
+def _planes():
+    from dqmtools_spark.operators.similarity import int_planes
+
+    return int_planes(_EMB_DIM, _N_PLANES)
 
 
 def q_embedding_dup_lsh(spark, sf):
-    from dqmtools_spark.operators.dedup import embedding_cosine_pairs
+    """Embedding near-dup pairs, integer-plane LSH candidates + exact
+    cosine verify — bucketed self-join, oracle-reproducible."""
+    from dqmtools_spark.operators.similarity import embedding_cosine_pairs_int
 
     e = _t(spark, sf, "embeddings")
-    return embedding_cosine_pairs(
-        e, "embedding", "vec_id", threshold=0.35, n_planes=6
+    return embedding_cosine_pairs_int(
+        e, "embedding", "vec_id", _planes(), threshold=0.35
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 def q_minhash_pairs(spark, sf):
-    from dqmtools_spark.operators.dedup import minhash_lsh_pairs
+    """MinHash LSH near-dup pairs, md5 + Carter-Wegman family (the
+    engine-portable tier; xxhash64 tier covered by pytest)."""
+    from dqmtools_spark.operators.dedup import minhash_lsh_pairs_md5
 
     d = _t(spark, sf, "documents")
-    return minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    return minhash_lsh_pairs_md5(d, "text", "doc_id", n=3, threshold=0.5)
 
 
 def q_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs, md5 60-bit family with n_bands=7 >
+    max_hamming=6 — pigeonhole recall exactly 1.0, so the output IS
+    'all pairs with Hamming <= 6' and the oracle checks that directly."""
+    from dqmtools_spark.functions.hashing import md5_hash60
     from dqmtools_spark.operators.dedup import simhash_pairs
 
     d = _t(spark, sf, "documents")
-    return simhash_pairs(d, "text", "doc_id", max_hamming=8)
+    return simhash_pairs(
+        d, "text", "doc_id", max_hamming=6, n_bits=60, token_hash=md5_hash60
+    )
 
 
 def q_ann_topk(spark, sf):
-    from dqmtools_spark.operators.similarity import ann_query, build_ann_index
+    """ANN top-k over the integer-plane LSH index; probe = query bucket
+    + all Hamming-1 buckets (data-independent multiprobe rule)."""
+    from dqmtools_spark.operators.similarity import (
+        build_int_ann_index,
+        int_ann_query,
+    )
 
     e = _t(spark, sf, "embeddings")
     qvec = list(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
-    indexed = build_ann_index(e.filter(F.col("vec_id") != 0), "embedding")
-    return ann_query(indexed, "embedding", "vec_id", qvec, k=10).select(
-        "vec_id", F.round("cosine", 4).alias("cosine")
+    indexed = build_int_ann_index(
+        e.filter(F.col("vec_id") != 0), "embedding", _planes()
     )
+    return int_ann_query(
+        indexed, "embedding", "vec_id", qvec, _planes(), k=10
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
 def q_ivf_topk(spark, sf):
-    """IVF ANN: deterministic k-means clusters, probe-pruned scan."""
-    from dqmtools_spark.operators.similarity import build_ivf_index, ivf_query
+    """IVF ANN, quantized inner-product tier: md5-sampled centroids,
+    exact int-dot assignment, probe-pruned scan (3 of 8 clusters).
+    The float k-means tier (build_ivf_index) is pytest-gated."""
+    from dqmtools_spark.operators.similarity import (
+        build_ivf_ip_index,
+        ivf_ip_query,
+    )
 
     e = _t(spark, sf, "embeddings")
     qvec = list(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
-    indexed, centroids = build_ivf_index(
-        e.filter(F.col("vec_id") != 0), "embedding", "vec_id",
-        n_centroids=8, n_iters=2,
+    indexed, centroids = build_ivf_ip_index(
+        e.filter(F.col("vec_id") != 0), "embedding", "vec_id", n_centroids=8
     )
-    return ivf_query(
-        indexed, centroids, "embedding", "vec_id", qvec, k=10, n_probe=4
+    return ivf_ip_query(
+        indexed, centroids, "embedding", "vec_id", qvec, k=10, n_probe=3
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_spectral_peak(spark, sf):
+    """F9 spectral analysis: vectorized FFT power spectrum (Arrow-batch
+    2-D rfft) over a synthesized two-tone signal, peak extracted with
+    JVM array expressions; the oracle is the closed-form DFT."""
+    from dqmtools_spark.functions.spectral import (
+        power_spectrum_udf,
+        spectral_peak,
+        synth_tone,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    freq = F.lit(1) + F.col("doc_id") % 14
+    sig = synth_tone(freq, n=32, second_freq=15, second_amp=0.25)
+    ps = d.withColumn("_ps", power_spectrum_udf(sig))
+    peak_bin, peak_power = spectral_peak(F.col("_ps"))
+    return ps.select(
+        "doc_id",
+        peak_bin.alias("peak_bin"),
+        F.round(peak_power, 3).alias("peak_power"),
+    )
 
 
 def q_pipeline_full(spark, sf):
@@ -725,6 +781,36 @@ def q_pipeline_full(spark, sf):
     )
     result, _ = run_pipeline(spark, pages, n_buckets=16)
     return result.select("url", "keep", "lang_pred", "quality_score")
+
+
+def q_pipeline_staged_agg(spark, sf):
+    """STAGED pipeline (phase-1 checkpoint materialized to parquet,
+    phase 2 reads it back — the reference's write-then-analyze flow),
+    folded to keep counts per predicted language.  Shares its oracle
+    CTE with pipeline_full, proving fused and staged paths agree under
+    the driver's own gate."""
+    import tempfile
+
+    from dqmtools_spark.pipeline import run_pipeline_staged
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    ckpt = tempfile.mkdtemp(prefix="staged_ckpt_") + "/text_checkpoint"
+    result, _ = run_pipeline_staged(spark, pages, ckpt, n_buckets=16)
+    return (
+        result.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("keep")).alias("n_keep"),
+            F.count_if(~F.col("keep")).alias("n_drop"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -773,18 +859,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_source_agg": q_salted_source_agg,
         "desparsify_check": q_desparsify_check,
         "cosine_dup_pairs": q_cosine_dup_pairs,
-        # non-SQL-expressible (rows-only driver check):
+        # engine-portable LSH/ANN/spectral/pipeline tiers (full oracles)
         "embedding_dup_lsh": q_embedding_dup_lsh,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "spectral_peak": q_spectral_peak,
         "pipeline_full": q_pipeline_full,
+        "pipeline_staged_agg": q_pipeline_staged_agg,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from dqmtools_spark import oracles
+    from dqmtools_spark.operators.similarity import int_planes
+
+    planes = int_planes(_EMB_DIM, _N_PLANES)
     return {
+        # engine-portable tiers: generated SQL mirrors the Spark plan's
+        # integer decisions bit-for-bit (dqmtools_spark/oracles.py)
+        "minhash_pairs": oracles.minhash_pairs_sql(
+            n=3, num_hashes=32, bands=8, threshold=0.5
+        ),
+        "simhash_pairs": oracles.simhash_pairs_sql(max_hamming=6, n_bits=60),
+        "embedding_dup_lsh": oracles.embedding_dup_lsh_sql(planes, threshold=0.35),
+        "ann_topk": oracles.ann_topk_sql(planes, k=10),
+        "ivf_topk": oracles.ivf_topk_sql(n_centroids=8, n_probe=3, k=10),
+        "spectral_peak": oracles.spectral_peak_sql(n=32, max_freq=14),
+        "pipeline_full": oracles.pipeline_result_sql(),
+        "pipeline_staged_agg": oracles.pipeline_keep_agg_sql(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

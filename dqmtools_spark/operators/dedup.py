@@ -124,7 +124,7 @@ def minhash_signature(shingles: F.Column, num_hashes: int = 32) -> F.Column:
     composing into other expressions; the pipeline path uses
     :func:`minhash_signatures` (explode + hash-aggregate), which
     produces identical values ~5x faster."""
-    return F.array(
+    sig = F.array(
         *[
             F.array_min(
                 F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
@@ -132,6 +132,10 @@ def minhash_signature(shingles: F.Column, num_hashes: int = 32) -> F.Column:
             for i in range(num_hashes)
         ]
     )
+    # null/empty shingle set -> null signature (NOT a constant): all
+    # degenerate docs sharing one signature would flood a single LSH
+    # bucket with an O(m^2) candidate blowup
+    return F.when(F.size(shingles) > 0, sig)
 
 
 def minhash_signatures(
@@ -140,15 +144,22 @@ def minhash_signatures(
     """(id, shingles) -> (id, sig array<long>) via explode + groupBy-min.
 
     Same hash family as :func:`minhash_signature` (xxhash64 over the
-    (shingle, i) tuple) so signatures are bit-identical, but the 32
-    mins run as ONE whole-stage-codegen hash aggregate instead of 32
-    interpreted array passes.  Scale shape: a doc's shingles sit in one
-    input row, so map-side partial aggregation collapses back to one
-    row per doc before the exchange — the shuffle is O(docs), not
+    (shingle, i) tuple) so signatures are bit-identical — including the
+    null-signature contract for null/empty shingle sets (explode_outer
+    keeps the doc's row but the guarded hash yields no values, so every
+    min is null and the signature folds to null; without the guard,
+    ``xxhash64(null, seed)`` hashes the seed alone and all degenerate
+    docs share one constant signature, flooding a single LSH bucket).
+    The 32 mins run as ONE whole-stage-codegen hash aggregate instead
+    of 32 interpreted array passes.  Scale shape: a doc's shingles sit
+    in one input row, so map-side partial aggregation collapses back to
+    one row per doc before the exchange — the shuffle is O(docs), not
     O(shingles)."""
     ex = shingled.select(F.col(id_col), F.explode_outer(sh_col).alias("_s"))
     mins = [
-        F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}")
+        F.min(
+            F.when(F.col("_s").isNotNull(), F.xxhash64(F.col("_s"), F.lit(i)))
+        ).alias(f"_h{i}")
         for i in range(num_hashes)
     ]
     return (
@@ -156,7 +167,10 @@ def minhash_signatures(
         .agg(*mins)
         .select(
             F.col(id_col),
-            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig"),
+            F.when(
+                F.col("_h0").isNotNull(),
+                F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]),
+            ).alias("_sig"),
         )
     )
 
@@ -189,7 +203,12 @@ def minhash_lsh_pairs(
         from pyspark import StorageLevel
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = minhash_signatures(base, "_id", "_sh", num_hashes)
+    # null-signature docs (null/empty shingle set) cannot be near-dups;
+    # drop them BEFORE banding — a null slice would hash to a constant
+    # bucket and pair every degenerate doc with every other
+    sigs = minhash_signatures(base, "_id", "_sh", num_hashes).filter(
+        F.col("_sig").isNotNull()
+    )
 
     band_cols = [
         F.struct(
@@ -228,6 +247,119 @@ def minhash_lsh_pairs(
     return verified
 
 
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Oracle-checkable MinHash LSH: identical banding/verify shape to
+    :func:`minhash_lsh_pairs`, but every hash is engine-portable so a
+    DuckDB differential oracle can verify the FULL output:
+
+    - shingle hash: ``md5_hash60(shingle) mod p`` (md5 is bit-identical
+      in every engine; see ``functions/hashing.py``),
+    - per-seed minhash: Carter–Wegman ``(a_i*x + b_i) mod p`` — pure
+      exact int64 arithmetic,
+    - band bucket: the raw slice of the signature array as the join
+      key (array equi-join) — no bucket-hash, so candidate semantics
+      are exactly "some band agrees", reproducible as
+      ``sig_a[lo:hi] = sig_b[lo:hi] OR ...`` in SQL,
+    - verify: exact Jaccard over the hashed shingle sets (integer set
+      ops; the emitted double is one exact division).
+
+    Same scale shape as the xxhash64 tier: signatures via ONE codegen
+    hash aggregate, candidates via banded equi-join (shuffle key =
+    (band, slice)), no all-pairs path.  ~2x more per-row hash cost than
+    xxhash64 (md5) — the xxhash64 tier remains the default at scale;
+    this tier is the verifiable one.
+    """
+    from dqmtools_spark.functions.hashing import P31, md5_hash60, universal_hash_consts
+
+    consts = universal_hash_consts(num_hashes)
+    rows_per_band = num_hashes // bands
+    sh = F.array_distinct(
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: md5_hash60(s) % P31
+        )
+    )
+    base = df.select(F.col(id_col).alias("_id"), sh.alias("_sh"))
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+
+    ex = base.select("_id", F.explode_outer("_sh").alias("_x"))
+    mins = [
+        F.min(
+            F.when(
+                F.col("_x").isNotNull(), (F.lit(a) * F.col("_x") + F.lit(b)) % P31
+            )
+        ).alias(f"_h{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    sigs = (
+        ex.groupBy("_id")
+        .agg(*mins)
+        .select(
+            "_id",
+            F.when(
+                F.col("_h0").isNotNull(),
+                F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]),
+            ).alias("_sig"),
+        )
+        .filter(F.col("_sig").isNotNull())
+    )
+
+    banded = sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice(
+                            F.col("_sig"), b * rows_per_band + 1, rows_per_band
+                        ).alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_b.band", "_b.val")
+
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+    shs = base.select("_id", "_sh")
+    return (
+        cand.join(
+            shs.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            shs.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        # raw, not rounded: one exact int/int division is bit-identical
+        # in every engine, so the oracle needs no rounding fuzz at all
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def drop_near_duplicates(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Keep-first policy: drop any row whose id appears as the LARGER
     member of a duplicate pair (deterministic, order-free).
@@ -254,6 +386,17 @@ def connected_components(
     order-free.  Each round's frame is localCheckpoint()ed to cut the
     exponentially growing lineage (iterative algorithms otherwise
     re-execute every prior round at each action).
+
+    The convergence probe is folded into the round's own frame: the
+    changed flag is projected alongside the new label, so detecting
+    convergence is one tiny scan of the already-materialized checkpoint
+    — no extra join re-reading both label frames per round.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iters`` rounds (a silent partial result would keep multiple
+    representatives of one cluster downstream); long chains at corpus
+    scale need a larger ``max_iters`` (rounds scale with the LOG of the
+    worst diameter once doubling is added; here diameter rounds).
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -267,32 +410,35 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("component").alias("n_comp"))
         )
+        new_comp = F.least(
+            F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+        )
         updated = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
-                ).alias("component"),
+                new_comp.alias("component"),
+                (new_comp != F.col("component")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.select("id", "component")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "a component's diameter exceeds max_iters — raise max_iters"
+        )
     return labels
 
 
@@ -343,23 +489,33 @@ def simhash64_udf(text: pd.Series) -> pd.Series:
     return text.map(sim)
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, text) -> (id, sig) 64-bit SimHash, entirely JVM-side.
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 64,
+    token_hash=None,
+) -> DataFrame:
+    """(id, text) -> (id, sig) n_bits-bit SimHash, entirely JVM-side.
 
     Same explode + hash-aggregate shape as :func:`minhash_signatures`:
-    distinct token hashes explode to rows, 64 per-bit vote sums run as
-    ONE whole-stage-codegen aggregate (map-side partials collapse back
-    to one row per doc before the exchange), and the signature
-    assembles with a bitwiseOR chain.  Vote semantics match
+    distinct token hashes explode to rows, ``n_bits`` per-bit vote sums
+    run as ONE whole-stage-codegen aggregate (map-side partials
+    collapse back to one row per doc before the exchange), and the
+    signature assembles with a bitwiseOR chain.  Vote semantics match
     :func:`simhash64_udf` (tie -> bit set; empty token set -> 0;
-    null text -> null) but the token hash family is xxhash64, so the
-    VALUES differ from the md5-based UDF — use one or the other
-    consistently.
+    null text -> null).
+
+    ``token_hash`` picks the token hash family: default ``xxhash64``
+    (fastest, Spark-only); pass ``hashing.md5_hash60`` with
+    ``n_bits=60`` for the engine-portable family a DuckDB oracle can
+    reproduce bit-for-bit.
     """
+    hash_fn = token_hash or F.xxhash64
     words = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: w != ""
     )  # split("") yields [""] — drop it so empty text means zero tokens
-    toks = F.array_distinct(F.transform(words, lambda w: F.xxhash64(w)))
+    toks = F.array_distinct(F.transform(words, lambda w: hash_fn(w)))
     ex = df.select(
         F.col(id_col),
         F.col(text_col).isNotNull().alias("_has"),
@@ -372,13 +528,13 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .when(F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(one) == 1, F.lit(1))
             .otherwise(F.lit(-1))
         ).alias(f"_v{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = ex.groupBy(id_col).agg(
         F.max("_has").alias("_has"), F.count("_h").alias("_n"), *votes
     )
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         sig = sig.bitwiseOR(
             F.when(F.col(f"_v{i}") >= 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
         )
@@ -391,19 +547,56 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def band_boundaries(n_bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """Partition bit positions [0, n_bits) into ``n_bands`` contiguous
+    (offset, width) bands; the first ``n_bits % n_bands`` bands get the
+    extra bit.  Together the bands cover every bit exactly once — the
+    pigeonhole precondition."""
+    base, extra = divmod(n_bits, n_bands)
+    out, off = [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+    n_bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Pigeonhole banding: with 4 bands of 16 bits, any pair within
-    Hamming 3 agrees exactly on >=1 band — candidates come from 4
-    band-equijoins (shuffle on 16-bit band value), then bit_count
-    verifies. No all-pairs comparison.
+    Pigeonhole banding: with ``n_bands > max_hamming`` bands partitioning
+    the signature's bits, any pair within Hamming ``max_hamming`` has at
+    least one band with zero differing bits, so it agrees exactly on
+    that band — candidates come from ``n_bands`` band-equijoins (shuffle
+    on the band value), then bit_count verifies.  No all-pairs
+    comparison, and recall is exactly 1.0 (every <=max_hamming pair is
+    emitted).  ``n_bands`` defaults to ``max(4, max_hamming + 1)``; an
+    explicit smaller value raises, because ``n_bands <= max_hamming``
+    silently loses the recall guarantee.
     """
+    if n_bands is None:
+        n_bands = max(4, max_hamming + 1)
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} <= max_hamming={max_hamming}: pigeonhole "
+            "recall guarantee requires n_bands > max_hamming"
+        )
     sig = simhash_signatures(
-        df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id", text_col
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)),
+        "_id",
+        text_col,
+        n_bits=n_bits,
+        token_hash=token_hash,
     )
+    bounds = band_boundaries(n_bits, n_bands)
     bands = sig.select(
         "_id",
         "_sig",
@@ -412,11 +605,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("_sig"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("_sig"), off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("val"),
                     )
-                    for b in range(4)
+                    for b, (off, width) in enumerate(bounds)
                 ]
             )
         ).alias("_b"),
@@ -454,6 +647,7 @@ def embedding_cosine_pairs(
     df: DataFrame,
     vec_col: str,
     id_col: str,
+    dim: int,
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
@@ -474,7 +668,7 @@ def embedding_cosine_pairs(
     """
     from dqmtools_spark.operators.similarity import build_ann_index, cosine
 
-    indexed = build_ann_index(df, vec_col, n_planes=n_planes, seed=seed).select(
+    indexed = build_ann_index(df, vec_col, dim, n_planes=n_planes, seed=seed).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
         "bucket",

@@ -79,12 +79,16 @@ def hyperplane_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
 
 
 def build_ann_index(
-    df: DataFrame, vec_col: str, n_planes: int = 12, seed: int = 42, dim: int | None = None
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 12, seed: int = 42
 ) -> DataFrame:
     """Attach a deterministic LSH ``bucket`` column.  At scale, persist
-    partitioned/bucketed by this column so probes prune partitions."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    partitioned/bucketed by this column so probes prune partitions.
+
+    ``dim`` is required: inferring it from the data would cost a driver
+    round-trip (``.first()``) inside index construction — the embedding
+    dimension is a property of the model that produced the vectors, so
+    the caller always knows it.
+    """
     bucket_udf = hyperplane_bucket_udf(dim, n_planes, seed)
     return df.withColumn("bucket", bucket_udf(F.col(vec_col)))
 
@@ -110,6 +114,232 @@ def ann_query(
     buckets = [base] + [base ^ (1 << int(i)) for i in flips]
 
     cand = indexed.filter(F.col("bucket").isin(buckets))
+    return cosine_topk(cand, vec_col, id_col, query, k)
+
+
+# ---------------------------------------------------- integer-plane LSH
+#
+# A second hyperplane family in EXACT integer arithmetic, so the bucket
+# assignment is reproducible bit-for-bit in any engine (numpy, Spark
+# JVM expressions, DuckDB SQL) — the oracle-checkable tier.  Vectors
+# are quantized to int64 at QUANT_SCALE (ties are impossible: a tie
+# needs v*10^6 to land exactly on k+0.5, whose denominator contains 5^6
+# and therefore has no finite binary representation); planes are small
+# deterministic integers.  All dot products stay below 2^40, far inside
+# both int64 and the 2^53 exact-double window, so every engine computes
+# identical projections and identical sign buckets.
+
+QUANT_SCALE = 1_000_000
+
+
+def int_planes(dim: int, n_planes: int, scale: int = 999, tag: str = "plane") -> list[list[int]]:
+    """Deterministic integer hyperplanes in [-scale, scale], derived
+    from md5 of (tag, plane, coord) — no RNG library dependence, so the
+    same literals embed into Spark plans and oracle SQL."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"{tag}:{p}:{i}".encode()).digest()[:8], "big"
+            )
+            row.append(h % (2 * scale + 1) - scale)
+        planes.append(row)
+    return planes
+
+
+def quantize_vec(col: Column) -> Column:
+    """array<float> -> array<long> at QUANT_SCALE (exact round-half-away,
+    identical in Spark/DuckDB/numpy because ties cannot occur)."""
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.round(x * F.lit(float(QUANT_SCALE))).cast("long"),
+    )
+
+
+def int_bucket_udf(planes: list[list[int]]):
+    """pandas UDF: embedding -> int bucket via integer hyperplane signs.
+    One int64 matmul per Arrow batch; exact (no float rounding in the
+    decision), so numpy here == JVM expression == SQL oracle."""
+    pl = np.asarray(planes, dtype=np.int64).T  # (dim, n_planes)
+    weights = (1 << np.arange(len(planes))).astype(np.int64)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(vec: pd.Series) -> pd.Series:
+        mat = np.vstack(vec.to_numpy()).astype(np.float64)
+        q = np.rint(mat * QUANT_SCALE).astype(np.int64)  # ties impossible
+        signs = (q @ pl) >= 0
+        return pd.Series((signs @ weights).astype(np.int32))
+
+    return bucket
+
+
+def int_bucket_expr(vec_col: Column, planes: list[list[int]]) -> Column:
+    """JVM-expression twin of :func:`int_bucket_udf` (same values):
+    per-plane integer dot via zip_with/aggregate HOFs.  Used by plan
+    audits and small inputs; the pandas UDF is the batch path."""
+    q = quantize_vec(vec_col)
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(int(w)) for w in plane])
+        proj = F.aggregate(
+            F.zip_with(q, lit_plane, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def build_int_ann_index(
+    df: DataFrame, vec_col: str, planes: list[list[int]], impl: str = "pandas"
+) -> DataFrame:
+    """Attach the integer-LSH ``bucket`` column (exact tier)."""
+    if impl == "pandas":
+        return df.withColumn("bucket", int_bucket_udf(planes)(F.col(vec_col)))
+    return df.withColumn("bucket", int_bucket_expr(F.col(vec_col), planes))
+
+
+def int_bucket_py(vec: list[float], planes: list[list[int]]) -> int:
+    """Driver-side parity of the bucket function (pure Python ints)."""
+    q = [round(v * QUANT_SCALE) for v in vec]
+    b = 0
+    for p, plane in enumerate(planes):
+        if sum(x * w for x, w in zip(q, plane)) >= 0:
+            b |= 1 << p
+    return b
+
+
+def int_ann_probe_buckets(query: list[float], planes: list[list[int]]) -> list[int]:
+    """Probe set: the query's bucket plus every Hamming-1 neighbor
+    (flip each plane's sign once).  Data-independent probe rule, so an
+    oracle can enumerate the same set with pure SQL."""
+    base = int_bucket_py(query, planes)
+    return [base] + [base ^ (1 << p) for p in range(len(planes))]
+
+
+def int_ann_query(
+    indexed: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    planes: list[list[int]],
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k over the integer-LSH index: scan only the
+    Hamming<=1 probe buckets, exact cosine top-k within them."""
+    cand = indexed.filter(
+        F.col("bucket").isin(int_ann_probe_buckets(query, planes))
+    )
+    return cosine_topk(cand, vec_col, id_col, query, k)
+
+
+def embedding_cosine_pairs_int(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    planes: list[list[int]],
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold with integer-LSH
+    bucketing (exact, oracle-reproducible candidate rule: same bucket).
+    Self-join shuffles on (bucket); exact cosine verifies."""
+    indexed = build_int_ann_index(df, vec_col, planes).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        "bucket",
+    )
+    l, r = indexed.alias("l"), indexed.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l._id") < F.col("r._id")),
+    )
+    return cand.select(
+        F.col("l._id").alias("id_a"),
+        F.col("r._id").alias("id_b"),
+        cosine(F.col("l._v"), F.col("r._v")).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
+# ------------------------------------------------- quantized-IP IVF ANN
+#
+# IVF with inner-product coarse quantization in exact integer
+# arithmetic: centroids are the n rows with the smallest
+# md5(cast(id as string)) (a deterministic, engine-portable sample);
+# assignment is argmax of the int64 dot product (ties -> smallest
+# centroid index).  Every discrete decision (assignment, probe choice)
+# is exact integer math, so a SQL oracle reproduces the candidate set
+# bit-for-bit; only the final emitted cosine is floating point.
+# The float k-means tier (build_ivf_index) remains the
+# quality-optimized path; this tier is the verifiable one.
+
+
+def build_ivf_ip_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 8,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Quantized-IP IVF index: rows tagged with ``cluster`` (exact
+    argmax of int dot vs deterministic md5-sampled centroids).
+    Returns (indexed_df, centroid int vectors).  Only n_centroids
+    quantized vectors ever reach the driver."""
+    sample = (
+        df.select(
+            quantize_vec(F.col(vec_col)).alias("_q"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+            F.col(id_col),
+        )
+        .orderBy("_h", id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[int(x) for x in r["_q"]] for r in sample]
+    assign = _assign_ip_udf(centroids)
+    return df.withColumn("cluster", assign(F.col(vec_col))), centroids
+
+
+def _assign_ip_udf(centroids: list[list[int]]):
+    """pandas UDF: vector -> argmax-int-dot centroid index (exact;
+    np.argmax returns the FIRST maximum = smallest index on ties,
+    matching the oracle's ORDER BY dot DESC, cid ASC)."""
+    c = np.asarray(centroids, dtype=np.int64)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vec: pd.Series) -> pd.Series:
+        mat = np.vstack(vec.to_numpy()).astype(np.float64)
+        q = np.rint(mat * QUANT_SCALE).astype(np.int64)
+        dots = q @ c.T  # exact: |dot| < 2^41
+        return pd.Series(np.argmax(dots, axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_ip_probe(centroids: list[list[int]], query: list[float], n_probe: int) -> list[int]:
+    """Top-n_probe centroid indices by exact int dot with the query
+    (ties -> smaller index), driver-side pure-Python ints."""
+    qq = [round(v * QUANT_SCALE) for v in query]
+    scored = [
+        (sum(x * w for x, w in zip(qq, c)), -i) for i, c in enumerate(centroids)
+    ]
+    return [-i for _, i in sorted(scored, reverse=True)[:n_probe]]
+
+
+def ivf_ip_query(
+    indexed: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Scan only the ``n_probe`` nearest-by-int-dot clusters, then
+    exact cosine top-k within them."""
+    probe = ivf_ip_probe(centroids, query, n_probe)
+    cand = indexed.filter(F.col("cluster").isin(probe))
     return cosine_topk(cand, vec_col, id_col, query, k)
 
 

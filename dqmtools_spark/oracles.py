@@ -1,0 +1,432 @@
+"""DuckDB oracle SQL builders for the engine-portable operator tiers.
+
+Every generator here emits ANSI-ish SQL that DuckDB runs over the same
+parquet tables as the Spark queries in ``__spark_entry__.py``; the
+driver compares rows + schema + value hashes.  The design rule that
+makes full-output verification possible for LSH/ANN operators: every
+DISCRETE decision (hash, band bucket, plane sign, centroid assignment,
+probe choice) is exact integer arithmetic over engine-portable hashes
+(md5-derived, ``functions/hashing.py``) or quantized vectors
+(``similarity.QUANT_SCALE``), so both engines make bit-identical
+decisions; floating point appears only in emitted score columns
+(cosine), where a single exact division or a ROUND(…, 4) absorbs
+summation-order noise (same policy the round-1 oracles shipped with).
+
+Thresholds / marker sets / LM vocabulary are imported from the SAME
+modules the pipeline uses, so a config change cannot de-sync the
+oracle from the engine.
+"""
+
+from __future__ import annotations
+
+from dqmtools_spark.functions.hashing import P31, universal_hash_consts
+from dqmtools_spark.functions.textproc import LANG_MARKERS, lm_and_oov
+from dqmtools_spark.functions.textstats import ALL_MARKERS
+from dqmtools_spark.operators.similarity import QUANT_SCALE
+from dqmtools_spark.rules.builtin import LANG_THRESHOLDS, THRESHOLDS
+
+
+def _md5h(expr: str) -> str:
+    """60-bit md5 hash fragment (parity: hashing.md5_hash60)."""
+    return f"(('0x' || SUBSTRING(MD5({expr}), 1, 15))::BIGINT)"
+
+
+def _in_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _int_list(vals) -> str:
+    return "[" + ", ".join(str(int(v)) for v in vals) + "]"
+
+
+# --------------------------------------------------------------- MinHash
+
+
+def minhash_pairs_sql(
+    n: int = 3, num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
+) -> str:
+    """Full-output oracle for ``minhash_lsh_pairs_md5``: same shingles,
+    same md5+Carter-Wegman minhash family, same banded candidate rule
+    (some signature slice agrees), same exact-Jaccard verify.  At the
+    oracle's scale (sf0.01, ~500 docs) the banding is evaluated as an
+    all-pairs EXISTS over band slices instead of a join — identical
+    candidate semantics, trivially correct."""
+    consts = universal_hash_consts(num_hashes)
+    rows = num_hashes // bands
+    mins = ",\n               ".join(
+        f"LIST_MIN(LIST_TRANSFORM(x, v -> ({a} * v + {b}) % {P31}))"
+        for a, b in consts
+    )
+    band_eq = "\n           OR ".join(
+        f"a.s[{b * rows + 1}:{(b + 1) * rows}] = b.s[{b * rows + 1}:{(b + 1) * rows}]"
+        for b in range(bands)
+    )
+    jac = (
+        "CAST(LEN(LIST_INTERSECT(a.x, b.x)) AS DOUBLE) / "
+        "(LEN(a.x) + LEN(b.x) - LEN(LIST_INTERSECT(a.x, b.x)))"
+    )
+    return f"""
+        WITH w0 AS (
+            SELECT doc_id, REGEXP_EXTRACT_ALL(TRIM(text), '\\S+') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   LIST_DISTINCT(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, GREATEST(LEN(w) - {n - 1}, 1)),
+                       i -> ARRAY_TO_STRING(w[i:i + {n - 1}], ' ')
+                   )) AS g
+            FROM w0
+        ),
+        sh AS (
+            SELECT doc_id,
+                   LIST_DISTINCT(LIST_TRANSFORM(g, s -> {_md5h('s')} % {P31})) AS x
+            FROM grams
+        ),
+        sig AS (
+            SELECT doc_id, x,
+               [{mins}] AS s
+            FROM sh WHERE LEN(x) > 0
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jac} AS jaccard
+        FROM sig a, sig b
+        WHERE a.doc_id < b.doc_id
+          AND ({band_eq})
+          AND {jac} >= {threshold}
+    """
+
+
+# --------------------------------------------------------------- SimHash
+
+
+def simhash_pairs_sql(max_hamming: int = 6, n_bits: int = 60) -> str:
+    """Full-output oracle for the md5-family ``simhash_pairs``.  With
+    ``n_bands > max_hamming`` the Spark banding has recall exactly 1.0
+    (pigeonhole), so the emitted set is EXACTLY all pairs with
+    Hamming <= max_hamming — which is what this SQL computes directly
+    from the same bit-vote signatures."""
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   LIST_DISTINCT(LIST_TRANSFORM(
+                       REGEXP_EXTRACT_ALL(TRIM(LOWER(text)), '\\S+'),
+                       w -> {_md5h('w')}
+                   )) AS hs
+            FROM documents
+        ),
+        th AS (SELECT doc_id, UNNEST(hs) AS h FROM t),
+        votes AS (
+            SELECT doc_id, bits.i,
+                   SUM(CASE WHEN (h >> bits.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM th CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {n_bits - 1})) AS i) bits
+            GROUP BY doc_id, bits.i
+        ),
+        sig0 AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN v >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sig
+            FROM votes GROUP BY doc_id
+        ),
+        sigs AS (
+            -- docs with an empty token set have signature 0 (tie votes)
+            SELECT t.doc_id, COALESCE(sig0.sig, 0) AS sig
+            FROM t LEFT JOIN sig0 ON t.doc_id = sig0.doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        FROM sigs a, sigs b
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+# ------------------------------------------------- integer-plane LSH ANN
+
+
+def _bucket_expr(qcol: str, planes: list[list[int]]) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({qcol}, {_int_list(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_QUANT = (
+    "LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), "
+    f"y -> CAST(ROUND(y * {QUANT_SCALE}) AS BIGINT))"
+)
+
+_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))"
+)
+
+
+def embedding_dup_lsh_sql(planes: list[list[int]], threshold: float = 0.35) -> str:
+    """Full-output oracle for ``embedding_cosine_pairs_int``: the
+    candidate rule (equal integer-plane sign bucket) is exact integer
+    math; the verify cosine is float but only thresholded/rounded."""
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {_bucket_expr(_QUANT, planes)} AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS}, 4) AS cosine
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND a.bucket = b.bucket
+          AND {_COS} >= {threshold}
+    """
+
+
+def ann_topk_sql(planes: list[list[int]], k: int = 10) -> str:
+    """Full-output oracle for ``int_ann_query``: probe set = query
+    bucket plus every Hamming-1 neighbor (a data-independent rule both
+    engines enumerate identically), exact cosine top-k within it."""
+    masks = [0] + [1 << p for p in range(len(planes))]
+    cosq = (
+        "list_dot_product(c.v, q.qv) / "
+        "(SQRT(list_dot_product(c.v, c.v)) * SQRT(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {_bucket_expr(_QUANT, planes)} AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0),
+        probes AS (
+            SELECT xor(q.qbucket, m.m) AS pb
+            FROM q CROSS JOIN (SELECT UNNEST({masks}) AS m) m
+        )
+        SELECT c.vec_id, ROUND({cosq}, 4) AS cosine
+        FROM e c CROSS JOIN q
+        WHERE c.vec_id <> 0 AND c.bucket IN (SELECT pb FROM probes)
+        ORDER BY {cosq} DESC, c.vec_id ASC
+        LIMIT {k}
+    """
+
+
+# ----------------------------------------------------- quantized-IP IVF
+
+
+def ivf_topk_sql(n_centroids: int = 8, n_probe: int = 3, k: int = 10) -> str:
+    """Full-output oracle for ``build_ivf_ip_index`` + ``ivf_ip_query``:
+    centroid sample (md5 order), assignment (argmax int dot, tie ->
+    smallest centroid index) and probe choice (top-n_probe by int dot)
+    are all exact integer decisions; only the emitted cosine is float."""
+    cosq = (
+        "list_dot_product(a.v, q.qv) / "
+        "(SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_QUANT} AS vq
+            FROM embeddings WHERE vec_id <> 0
+        ),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv, {_QUANT} AS qq
+            FROM embeddings WHERE vec_id = 0
+        ),
+        cent AS (
+            SELECT vq AS cq,
+                   ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+            FROM e
+            QUALIFY ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) <= {n_centroids}
+        ),
+        assigned AS (
+            SELECT e.vec_id, e.v, c.cid
+            FROM e CROSS JOIN cent c
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY list_dot_product(e.vq, c.cq) DESC, c.cid ASC) = 1
+        ),
+        probe AS (
+            SELECT c.cid
+            FROM cent c CROSS JOIN q
+            QUALIFY ROW_NUMBER() OVER (
+                ORDER BY list_dot_product(q.qq, c.cq) DESC, c.cid ASC) <= {n_probe}
+        )
+        SELECT a.vec_id, ROUND({cosq}, 4) AS cosine
+        FROM assigned a JOIN probe p ON a.cid = p.cid CROSS JOIN q
+        ORDER BY {cosq} DESC, a.vec_id ASC
+        LIMIT {k}
+    """
+
+
+# ------------------------------------------------------------- spectral
+
+
+def spectral_peak_sql(n: int = 32, max_freq: int = 14) -> str:
+    """Closed-form oracle for the FFT power-spectrum peak: for the
+    synthesized two-tone signal cos(2*pi*f*i/n) + 0.25*cos(2*pi*15*i/n)
+    with integer f in [1, max_freq], the one-sided power spectrum peaks
+    at bin f with |X_f|^2 = (n/2)^2 exactly (the secondary tone
+    contributes (0.25*n/2)^2, 16x smaller).  A real FFT lands within
+    ~1e-12 of the closed form — invisible under ROUND(…, 3)."""
+    return f"""
+        SELECT doc_id,
+               CAST(1 + doc_id % {max_freq} AS INTEGER) AS peak_bin,
+               CAST({(n // 2) ** 2} AS DOUBLE) AS peak_power
+        FROM documents
+    """
+
+
+# ----------------------------------------------------- quality pipeline
+
+
+def _lang_case(score_names: dict[str, str]) -> str:
+    """Argmax with tie -> alphabetically-first language, as a CASE
+    chain over alphabetically ordered languages (parity:
+    textproc.predict_lang's min over (-score, lang))."""
+    langs = sorted(score_names)
+    clauses = []
+    for i, lang in enumerate(langs[:-1]):
+        rest = [score_names[o] for o in langs[i + 1 :]]
+        cond = " AND ".join(f"{score_names[lang]} >= {o}" for o in rest)
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+
+
+def pipeline_result_sql() -> str:
+    """Full-output oracle for the quality pipeline's doc_results
+    projection (url, keep, lang_pred, quality_score): language ID,
+    all nine text stats, unigram perplexity and the 11-rule fold
+    recomputed in SQL from the SAME marker sets / vocabulary /
+    thresholds the engine imports.
+
+    Scope note: on the driver corpus ``extract_text`` is the identity
+    (no tags/entities/space-runs in the synthesized documents —
+    asserted for every sf directory in tests), so the oracle computes
+    from raw ``text``; the extraction itself is byte-level-tested
+    against ``tests/reference_impl.py``.  Float caveat: perplexity is
+    a sum of ~100 doubles whose order differs between engines (~1e-13
+    relative); a doc sitting within 1e-10 of the 400.0 ceiling could
+    in principle flip — no such doc exists at any test sf.
+    """
+    t = THRESHOLDS
+    vocab, oov = lm_and_oov()
+    vocab_rows = ",\n                ".join(
+        f"('{w}', CAST({lp!r} AS DOUBLE))" for w, lp in sorted(vocab.items())
+    )
+    marker_counts = ",\n            ".join(
+        f"LEN(LIST_FILTER(REGEXP_EXTRACT_ALL(LOWER(text), '\\p{{L}}+'), "
+        f"w -> w IN ({_in_list(sorted(LANG_MARKERS[lang]))}))) AS s_{lang}"
+        for lang in sorted(LANG_MARKERS)
+    )
+    lang_case = _lang_case(
+        {lang: f"s_{lang}" for lang in [*sorted(LANG_MARKERS), "zh"]}
+    )
+    thr_stop = " ".join(
+        f"WHEN '{r['lang_pred']}' THEN CAST({r['thr_stopword_min']!r} AS DOUBLE)"
+        for r in LANG_THRESHOLDS
+    )
+    thr_ppl = " ".join(
+        f"WHEN '{r['lang_pred']}' THEN CAST({r['thr_ppl_max']!r} AS DOUBLE)"
+        for r in LANG_THRESHOLDS
+    )
+    n_rules = 11
+    pall = " AND ".join(f"p{i}" for i in range(1, n_rules + 1))
+    psum = " + ".join(f"p{i}::INT" for i in range(1, n_rules + 1))
+    return f"""
+        WITH base AS (
+            SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text
+            FROM documents
+        ),
+        stats AS (
+            SELECT url, text,
+            LEN(REGEXP_EXTRACT_ALL(text, '\\S+')) AS wc,
+            LENGTH(text) AS nch,
+            LEN(REGEXP_EXTRACT_ALL(text, '\\s')) AS nws,
+            LEN(REGEXP_EXTRACT_ALL(text, '[^\\p{{L}}\\p{{N}}\\s]')) AS nsym,
+            LEN(LIST_FILTER(REGEXP_EXTRACT_ALL(LOWER(text), '\\S+'),
+                w -> w IN ({_in_list(ALL_MARKERS)}))) AS nstop,
+            LEN(LIST_FILTER(REGEXP_EXTRACT_ALL(text, '\\S+'),
+                w -> NOT REGEXP_MATCHES(w, '\\p{{L}}'))) AS nnoalpha,
+            LIST_FILTER(STRING_SPLIT(text, CHR(10)),
+                x -> LENGTH(TRIM(x)) > 0) AS nel,
+            CONTAINS(text, '{{') AS curly,
+            {marker_counts},
+            LEN(REGEXP_EXTRACT_ALL(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS s_zh
+            FROM base
+        ),
+        derived AS (
+            SELECT url, text, wc, curly,
+            CASE WHEN wc = 0 THEN NULL
+                 ELSE CAST(nch - nws AS DOUBLE) / wc END AS mwl,
+            CASE WHEN nch = 0 THEN 0.0
+                 ELSE CAST(nsym AS DOUBLE) / nch END AS symr,
+            CASE WHEN wc = 0 THEN 0.0
+                 ELSE CAST(nstop AS DOUBLE) / wc END AS stopf,
+            CASE WHEN LEN(nel) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(LEN(LIST_DISTINCT(nel)) AS DOUBLE) / LEN(nel) END AS repf,
+            CASE WHEN wc = 0 THEN 0.0
+                 ELSE CAST(wc - nnoalpha AS DOUBLE) / wc END AS alphaf,
+            CASE WHEN LEN(nel) = 0 THEN 0.0
+                 ELSE CAST(LEN(LIST_FILTER(nel,
+                      x -> ends_with(x, '...') OR ends_with(x, '…'))) AS DOUBLE)
+                      / LEN(nel) END AS ellf,
+            CASE WHEN LEN(nel) = 0 THEN 0.0
+                 ELSE CAST(LEN(LIST_FILTER(nel,
+                      x -> starts_with(x, '- ') OR starts_with(x, '* ')
+                           OR starts_with(x, '• '))) AS DOUBLE)
+                      / LEN(nel) END AS bulf,
+            {lang_case} AS lang_pred
+            FROM stats
+        ),
+        ptoks AS (
+            SELECT url, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '\\S+')) AS w
+            FROM base
+        ),
+        vocab(w, lp) AS (
+            SELECT * FROM (VALUES
+                {vocab_rows})
+        ),
+        plp AS (
+            SELECT p.url, SUM(COALESCE(v.lp, CAST({oov!r} AS DOUBLE))) / COUNT(*) AS mlp
+            FROM ptoks p LEFT JOIN vocab v ON p.w = v.w
+            GROUP BY p.url
+        ),
+        scored AS (
+            SELECT d.*, POWER(2.0, -plp.mlp) AS ppl,
+                   CASE d.lang_pred {thr_stop} END AS thr_stop,
+                   CASE d.lang_pred {thr_ppl} END AS thr_ppl
+            FROM derived d LEFT JOIN plp ON d.url = plp.url
+        ),
+        flags AS (
+            SELECT url, lang_pred,
+            COALESCE(wc >= {t['min_word_count']}, FALSE) AS p1,
+            COALESCE(wc <= {t['max_word_count']}, FALSE) AS p2,
+            COALESCE(mwl BETWEEN {t['min_mean_word_len']!r} AND {t['max_mean_word_len']!r}, FALSE) AS p3,
+            COALESCE(symr <= {t['max_symbol_ratio']!r}, FALSE) AS p4,
+            COALESCE(repf <= {t['max_repeated_line_fraction']!r}, FALSE) AS p5,
+            COALESCE(alphaf >= {t['min_alpha_word_fraction']!r}, FALSE) AS p6,
+            COALESCE(ellf <= {t['max_ellipsis_line_fraction']!r}, FALSE) AS p7,
+            COALESCE(bulf <= {t['max_bullet_line_fraction']!r}, FALSE) AS p8,
+            COALESCE(NOT curly, FALSE) AS p9,
+            COALESCE(stopf >= thr_stop, FALSE) AS p10,
+            COALESCE(ppl <= thr_ppl, FALSE) AS p11
+            FROM scored
+        )
+        SELECT url,
+               ({pall}) AS keep,
+               lang_pred,
+               CAST({psum} AS DOUBLE) / {n_rules} AS quality_score
+        FROM flags
+    """
+
+
+def pipeline_keep_agg_sql() -> str:
+    """Aggregated form of :func:`pipeline_result_sql` (keep counts per
+    predicted language) — the oracle for the STAGED pipeline query,
+    proving fused and staged paths agree under the driver's own gate."""
+    return f"""
+        WITH r AS ({pipeline_result_sql()})
+        SELECT lang_pred,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_keep,
+               CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_drop
+        FROM r
+        GROUP BY lang_pred
+    """

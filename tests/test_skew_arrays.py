@@ -171,7 +171,7 @@ def test_embedding_cosine_pairs_recall(spark):
     got = {
         (r["id_a"], r["id_b"])
         for r in embedding_cosine_pairs(
-            df, "embedding", "vec_id", threshold=0.98, n_planes=6
+            df, "embedding", "vec_id", dim=16, threshold=0.98, n_planes=6
         ).collect()
     }
     # exact all-pairs ground truth
@@ -241,9 +241,9 @@ def test_simhash_signatures_properties(spark):
     ham_far = bin((sigs[1] ^ sigs[4]) & (2**64 - 1)).count("1")
     assert ham_near < 16 < ham_far                 # near-dup vs unrelated
 
-    # banding guarantees recall only for hamming <= bands-1 = 3; verify
-    # the exact-duplicate pair, precision of every reported pair, and
-    # that unrelated docs never pair up
+    # n_bands defaults to max_hamming+1, so recall is exactly 1.0 for
+    # hamming <= 16; verify the exact-duplicate pair, precision of
+    # every reported pair, and that unrelated docs never pair up
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in simhash_pairs(df, "text", "doc_id", max_hamming=16).collect()}
     assert pairs[(1, 2)] == 0
