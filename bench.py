@@ -117,10 +117,19 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
     qs = entry_mod.queries()
     out: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2 WITHIN this invocation: the first execution of a
+        # query pays plan compile + codegen (15-40s across a cold
+        # session); a one-shot driver run would report that warmup as
+        # throughput (BENCH_r01 measured 2.2x uniform inflation).  The
+        # DataFrame is rebuilt per run — Spark 4 memoizes actions on
+        # the same DataFrame object.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
     return out
 
 

@@ -361,14 +361,15 @@ def build_ivf_index(
     - init: the ``n_centroids`` rows with smallest ``xxhash64(id)`` —
       a deterministic uniform sample (no random(), stable across runs
       and cluster sizes).
-    - Lloyd iterations: assignment is a numpy matmul inside a pandas
-      UDF (centroids closed over, one BLAS call per Arrow batch);
-      centroid update is ``posexplode`` + ``groupBy(cluster, dim).avg``
-      — a shuffle of O(rows x dim) scalars with map-side combine, and
+    - Lloyd iterations: ONE ``mapInPandas`` stage fuses assignment and
+      per-partition partial sums — each task emits at most
+      (n_centroids) rows of (cluster, sum_vec, count), so the shuffle
+      per iteration is O(partitions x centroids x dim) scalars, not
+      O(rows x dim); the final combine explodes only those partials and
       only (n_centroids x dim) numbers ever reach the driver.
 
     At 10^12 rows the per-iteration cost is one narrow Python stage +
-    one aggregate; persist the final ``indexed_df`` partitioned by
+    one tiny aggregate; persist the final ``indexed_df`` partitioned by
     ``cluster`` so probes prune partitions.
     """
     sample = (
@@ -378,26 +379,52 @@ def build_ivf_index(
         .collect()
     )
     centroids = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
+    partial_schema = "cluster int, psum array<double>, n long"
 
     for _ in range(n_iters):
-        assign = _assign_udf(centroids)
-        assigned = df.select(
-            F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster")
+        partials = df.select(vec_col).mapInPandas(
+            _partial_sums_fn(centroids, vec_col), schema=partial_schema
         )
-        dims = assigned.select(
-            "cluster", F.posexplode(F.col(vec_col).cast("array<double>"))
-        )
-        new = (
-            dims.groupBy("cluster", "pos")
-            .agg(F.avg("col").alias("v"))
+        combined = (
+            partials.select("cluster", "n", F.posexplode("psum"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("col").alias("s"), F.sum("n").alias("ntot"))
             .collect()
         )
-        for r in new:
-            centroids[r["cluster"], r["pos"]] = r["v"]
+        for r in combined:
+            centroids[r["cluster"], r["pos"]] = r["s"] / r["ntot"]
 
     assign = _assign_udf(centroids)
     indexed = df.withColumn("cluster", assign(F.col(vec_col)))
     return indexed, centroids
+
+
+def _partial_sums_fn(centroids: np.ndarray, vec_col: str):
+    """mapInPandas worker for one Lloyd round: assign each row to its
+    nearest (cosine) centroid and emit per-cluster partial vector sums
+    — map-side combine done in numpy, one output row per (task batch,
+    cluster)."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            normed = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            cl = np.argmax(normed @ cn.T, axis=1)
+            uniq = np.unique(cl)
+            yield pd.DataFrame(
+                {
+                    "cluster": uniq.astype(np.int32),
+                    "psum": [mat[cl == k].sum(axis=0).tolist() for k in uniq],
+                    "n": [int((cl == k).sum()) for k in uniq],
+                }
+            )
+
+    return fn
 
 
 def _assign_udf(centroids: np.ndarray):

@@ -131,6 +131,21 @@ def run_pipeline(
     return _fold_results(enriched, registry)
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API, so it works
+    on any supported store (local, HDFS, s3a), not just the local FS."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def staged_checkpoint_complete(spark: SparkSession, checkpoint_path: str) -> bool:
+    """True when the phase-1 text checkpoint finished writing (Spark's
+    ``_SUCCESS`` commit marker exists)."""
+    return _hadoop_path_exists(spark, checkpoint_path.rstrip("/") + "/_SUCCESS")
+
+
 def run_pipeline_staged(
     spark: SparkSession,
     pages: DataFrame,
@@ -138,16 +153,26 @@ def run_pipeline_staged(
     registry: RuleRegistry | None = None,
     reextract: bool = True,
     n_buckets: int = DEFAULT_PART_BUCKETS,
+    force: bool = False,
 ) -> tuple[DataFrame, list[RuleBuildOutcome]]:
     """Pipeline with the phase-1 output materialized to
     ``checkpoint_path`` (parquet) — the durable decoded-text checkpoint
     (SURVEY S6/S7).  Returns the same (doc_results, outcomes) contract;
     the returned DataFrame reads from the checkpoint, so downstream
-    actions never re-run the Python stage."""
+    actions never re-run the Python stage.
+
+    Resumability: when the checkpoint is already complete (``_SUCCESS``
+    marker), phase 1 is SKIPPED entirely — a re-submitted job goes
+    straight to the cheap JVM phase, which is the point of the durable
+    checkpoint.  A half-written checkpoint (no marker after a
+    mid-write kill) is rewritten.  Pass ``force=True`` when the INPUT
+    changed and the checkpoint must be rebuilt despite being complete.
+    """
     registry = registry or default_registry()
-    python_phase(pages, reextract=reextract).write.mode("overwrite").parquet(
-        checkpoint_path
-    )
+    if force or not staged_checkpoint_complete(spark, checkpoint_path):
+        python_phase(pages, reextract=reextract).write.mode("overwrite").parquet(
+            checkpoint_path
+        )
     processed = spark.read.parquet(checkpoint_path)
     enriched = jvm_phase(processed, spark, n_buckets=n_buckets)
     return _fold_results(enriched, registry)
@@ -162,3 +187,24 @@ def rule_metrics(evaluated: DataFrame, prefix: str = "pass_") -> DataFrame:
         F.count_if(~F.col(c)).alias(f"fail_{c[len(prefix):]}") for c in pass_cols
     ]
     return evaluated.cube("lang_pred").agg(*aggs)
+
+
+def rule_metrics_from_results(doc_results: DataFrame, rule_names: list[str]) -> DataFrame:
+    """Same metrics cube as :func:`rule_metrics`, computed from the
+    WRITTEN ``doc_results`` table instead of the live evaluated frame:
+    a rule's failure is recorded in the ``reasons`` array, so
+    ``fail_<rule> = count_if(array_contains(reasons, rule))``.
+
+    This is how the job CLI derives counters — one cheap codegen scan
+    of the output parquet, instead of re-running the fused Python phase
+    over the raw input a second time (which would double the dominant
+    cost at the 100 TB design point).
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("docs_in"),
+        F.count_if(F.col("keep")).alias("docs_out"),
+    ] + [
+        F.count_if(F.array_contains(F.col("reasons"), name)).alias(f"fail_{name}")
+        for name in rule_names
+    ]
+    return doc_results.cube("lang_pred").agg(*aggs)

@@ -90,20 +90,35 @@ class CheckpointedRun:
         # one exchange: cluster by bucket so each output partition is a
         # single task's atomic write
         work = work.repartition(max(len(pending), 1), "part_key")
-        work.cache()
-        per_bucket = {
-            r["part_key"]: (r["n"], r["n_keep"])
-            for r in work.groupBy("part_key")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count_if(F.col("keep")).alias("n_keep"),
+        # per-bucket counters ride the write itself as observation
+        # metrics — ONE job, ONE scan, nothing cached.  (The former
+        # cache() + groupBy pre-pass materialized the entire pending
+        # slice and scanned it twice; at 100 TB that is the difference
+        # between one pass and caching the corpus.)  Counter caveat
+        # shared with accumulators: a re-executed task counts twice —
+        # counters are lineage diagnostics, not the resume gate (the
+        # gate is the anti-join + progress table).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        per_bucket_exprs = []
+        for b in pending:
+            per_bucket_exprs.append(
+                F.count_if(F.col("part_key") == b).alias(f"in_{b}")
             )
-            .collect()
+            per_bucket_exprs.append(
+                F.count_if((F.col("part_key") == b) & F.col("keep")).alias(
+                    f"out_{b}"
+                )
+            )
+        work = work.observe(obs, F.count(F.lit(1)).alias("total"), *per_bucket_exprs)
+        write_table(work, self.results_path, partition_by=["part_key"])
+        counters = obs.get
+        total = int(counters["total"])
+        per_bucket = {
+            b: (int(counters[f"in_{b}"]), int(counters[f"out_{b}"]))
+            for b in pending
         }
-        total = sum(n for n, _ in per_bucket.values())
-        if total:
-            write_table(work, self.results_path, partition_by=["part_key"])
-        work.unpersist()
 
         # mark progress AFTER data is durable (write-ahead ordering:
         # a kill between the two writes re-runs the bucket; the

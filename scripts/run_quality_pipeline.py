@@ -56,16 +56,17 @@ def main() -> None:
     ap.add_argument("--staged", action="store_true",
                     help="materialize the decoded-text checkpoint between the "
                          "Python and JVM phases (<output>/text_checkpoint) so "
-                         "rule changes never re-run extraction")
+                         "rule changes never re-run extraction; a re-submit "
+                         "with a complete checkpoint skips extraction entirely")
+    ap.add_argument("--force-reextract", action="store_true",
+                    help="with --staged: rebuild the text checkpoint even if "
+                         "complete (use when the INPUT changed)")
     ap.add_argument("--config", help="JSON file overriding rule thresholds "
                                      "(the reference's per-detector config, "
                                      "dqm_analyzer.py:29-45)")
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
-    from dqmtools_spark.pipeline import run_pipeline, rule_metrics
-    from dqmtools_spark.rules.core import evaluate_rules
+    from dqmtools_spark.pipeline import run_pipeline, rule_metrics_from_results
     from dqmtools_spark.rules.builtin import default_registry
     from dqmtools_spark.session import get_spark
     from dqmtools_spark.sources.checkpoint import CheckpointedRun
@@ -96,6 +97,7 @@ def main() -> None:
             spark, pages, os.path.join(args.output, "text_checkpoint"),
             registry=registry,
             reextract=not args.no_reextract, n_buckets=args.n_buckets,
+            force=args.force_reextract,
         )
     else:
         result, outcomes = run_pipeline(
@@ -105,16 +107,17 @@ def main() -> None:
     ckpt = CheckpointedRun(spark, args.output, run_id=args.run_id)
     summary = ckpt.run(result, n_buckets=args.n_buckets)
 
-    # rule counters: recompute the enriched view once for the metrics
-    # cube (skipped when resume found all buckets already done)
+    # rule counters: one cheap codegen scan of the WRITTEN results
+    # (reasons array -> per-rule fail counts) — never a second run of
+    # the fused Python phase over the raw input
     if not summary.get("skipped"):
-        from dqmtools_spark.pipeline import enrich_pages
-        enriched, _ = evaluate_rules(
-            enrich_pages(pages, spark, reextract=not args.no_reextract,
-                         n_buckets=args.n_buckets),
-            registry or default_registry(),
+        from dqmtools_spark.sources.tables import read_table
+
+        applied = [o.rule.name for o in outcomes if o.column is not None]
+        write_table(
+            rule_metrics_from_results(read_table(spark, ckpt.results_path), applied),
+            os.path.join(args.output, "rule_metrics"),
         )
-        write_table(rule_metrics(enriched), os.path.join(args.output, "rule_metrics"))
 
     summary["wall_sec"] = round(time.perf_counter() - t0, 2)
     summary["rules"] = [o.rule.name for o in outcomes]
