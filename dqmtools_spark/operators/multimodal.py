@@ -1,13 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + metadata.
 
 The Spark-side plumbing is real — schemas, Arrow batch shapes,
-``mapInPandas`` signatures, partition sizing — while the actual codec
-work is stubbed deterministically (no image/audio libraries in this
-container): ``decode_image_meta`` parses real PNG/JPEG headers from
-bytes (pure Python, deterministic), and ``extract_features`` emits a
-seeded deterministic fake embedding.  Swapping in Pillow/torchaudio is
-a one-function change inside the UDF; the distributed plan is already
-correct.
+``mapInPandas`` signatures, partition sizing — and ONE codec path is
+real end-to-end: PNG decode via the pure-Python inflate+unfilter codec
+(``functions/pngcodec.py``), feeding actual pixel statistics into the
+feature vector (``stub=False``).  The remaining formats (JPEG/GIF
+pixels, audio, video) stay honestly stubbed — ``decode_media_meta``
+parses their real headers, ``extract_features(stub=True)`` emits a
+seeded deterministic fake embedding; swapping in Pillow/torchaudio is
+a one-function change inside the same UDF seam.
 
 Analog: the reference's waveform handling — opaque per-row arrays
 decoded by external unpackers (``dump_pds_ana_info.py:125-163``).
@@ -17,6 +18,7 @@ from __future__ import annotations
 
 import struct
 from collections.abc import Iterator
+from zlib import error as zlib_error
 
 import numpy as np
 import pandas as pd
@@ -110,19 +112,45 @@ def decode_media_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode, schema=META_SCHEMA)
 
 
+def png_pixel_features(payload: bytes) -> np.ndarray | None:
+    """REAL feature vector from actual PNG pixels (pure-Python codec,
+    ``functions/pngcodec.py``): [w, h, channels, mean, std,
+    mean_ch0..2, 8-bin histogram of channel 0].  Returns None for
+    payloads that are not decodable PNGs."""
+    from dqmtools_spark.functions.pngcodec import decode_png
+
+    try:
+        w, h, c, pix = decode_png(payload)
+    except (ValueError, NotImplementedError, zlib_error):
+        return None
+    arr = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(h, w, c)
+    f = arr.astype(np.float64)
+    ch_means = [float(f[:, :, i].mean()) for i in range(min(c, 3))]
+    ch_means += [0.0] * (3 - len(ch_means))
+    hist, _ = np.histogram(arr[:, :, 0], bins=8, range=(0, 256))
+    vec = np.array(
+        [float(w), float(h), float(c), float(f.mean()), float(f.std())]
+        + ch_means
+        + (hist / max(w * h, 1)).tolist(),
+        dtype=np.float32,
+    )
+    assert vec.shape[0] == FEATURE_DIM
+    return vec
+
+
 def extract_features(df: DataFrame, stub: bool = True) -> DataFrame:
     """Feature extraction over binary payloads.
 
-    ``stub=True`` (this container) emits a DETERMINISTIC FAKE feature:
-    a seeded hash-derived vector — the Spark plan (partition-parallel
-    mapInPandas, Arrow batches, array<float> output) is the real
-    deliverable.  ``stub=False`` raises until a codec library is wired.
+    ``stub=True`` emits a DETERMINISTIC FAKE feature (seeded
+    hash-derived vector) for every payload — the fully-uniform path for
+    plan/shape testing.  ``stub=False`` runs the REAL decoder for PNG
+    payloads (pure-Python inflate + unfilter -> pixel statistics; see
+    :func:`png_pixel_features`) and yields null features for formats
+    this container cannot decode (JPEG/GIF/audio/video need external
+    codec libraries — that remainder is the honestly-stubbed part).
+    The Spark plan (partition-parallel mapInPandas, Arrow batches,
+    array<float> output) is identical in both modes.
     """
-    if not stub:
-        raise NotImplementedError(
-            "real decode requires an image/audio library not present in "
-            "this container; wire Pillow/torchaudio here"
-        )
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -130,12 +158,14 @@ def extract_features(df: DataFrame, stub: bool = True) -> DataFrame:
             for b in pdf["payload"]:
                 if b is None:
                     out.append(None)
-                    continue
-                seed = int.from_bytes(
-                    (b[:8] + b"\x00" * 8)[:8], "big", signed=False
-                ) % (2**32)
-                rng = np.random.default_rng(seed)
-                out.append(rng.standard_normal(FEATURE_DIM).astype(np.float32))
+                elif stub:
+                    seed = int.from_bytes(
+                        (b[:8] + b"\x00" * 8)[:8], "big", signed=False
+                    ) % (2**32)
+                    rng = np.random.default_rng(seed)
+                    out.append(rng.standard_normal(FEATURE_DIM).astype(np.float32))
+                else:
+                    out.append(png_pixel_features(b))
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": out})
 
     return df.mapInPandas(feats, schema=FEATURES_SCHEMA)

@@ -1,6 +1,7 @@
 """Multimodal plumbing: binary media columns -> metadata / features /
-frame sampling via mapInPandas (decode stubbed deterministically —
-no codec libs in this container; the Spark plan is the deliverable)."""
+frame sampling via mapInPandas.  PNG decode is REAL (pure-Python
+codec, pixel-exact tests below); other formats stay deterministically
+stubbed — no codec libs in this container."""
 
 from __future__ import annotations
 
@@ -67,9 +68,66 @@ def test_extract_features_deterministic(spark):
     assert a[1] != a[2]
 
 
-def test_extract_features_real_decode_is_gated(spark):
-    with pytest.raises(NotImplementedError, match="image/audio library"):
-        extract_features(_media_df(spark), stub=False)
+def test_png_codec_round_trip_all_filters_and_channels():
+    """encode->decode must be pixel-exact for every filter type and
+    every supported channel count (exercises all unfilter branches)."""
+    from dqmtools_spark.functions.pngcodec import decode_png, encode_png
+
+    for channels in (1, 2, 3, 4):
+        w, h = 11, 6
+        pix = bytearray(
+            (x * 31 + y * 67 + c * 13) % 256
+            for y in range(h) for x in range(w) for c in range(channels)
+        )
+        for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h,
+                        [0, 1, 2, 3, 4, 2]):
+            png = encode_png(pix, w, h, channels, row_filters=filters)
+            got = decode_png(png)
+            assert got == (w, h, channels, pix), (channels, filters)
+
+
+def test_png_codec_decodes_committed_fixture():
+    """The committed fixture was written with mixed per-row filters;
+    decoded pixels must match the generating formula exactly."""
+    import os
+
+    from dqmtools_spark.functions.pngcodec import decode_png
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "mixed_filters.png")
+    with open(path, "rb") as f:
+        w, h, c, pix = decode_png(f.read())
+    assert (w, h, c) == (9, 7, 3)
+    expected = bytearray(
+        (x * 37 + y * 53 + c_ * 11) % 256
+        for y in range(7) for x in range(9) for c_ in range(3)
+    )
+    assert pix == expected
+
+
+def test_extract_features_real_png_decode(spark):
+    """stub=False derives features from ACTUAL pixels: a solid-color
+    PNG must yield exact channel means; non-PNG payloads yield null."""
+    from dqmtools_spark.functions.pngcodec import encode_png
+
+    w, h = 8, 4
+    solid = bytes([200, 100, 50] * (w * h))  # constant RGB
+    rows = [
+        (1, "image", encode_png(solid, w, h, 3), "image/png"),
+        (2, "image", _jpeg(16, 16), "image/jpeg"),   # no real jpeg codec
+        (3, "image", None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["feature"]
+             for r in extract_features(df, stub=False).collect()}
+    f1 = feats[1]
+    assert f1 is not None and len(f1) == FEATURE_DIM
+    assert (f1[0], f1[1], f1[2]) == (8.0, 4.0, 3.0)          # w, h, channels
+    assert (f1[5], f1[6], f1[7]) == (200.0, 100.0, 50.0)     # exact ch means
+    assert abs(f1[3] - (200 + 100 + 50) / 3) < 1e-5          # overall mean
+    # histogram of channel 0: all 32 pixels in bin 6 (192..224)
+    hist = f1[8:16]
+    assert hist[6] == 1.0 and sum(hist) == 1.0
+    assert feats[2] is None and feats[3] is None
 
 
 def test_frame_sample_plan_explodes_every_n(spark):

@@ -54,3 +54,52 @@ def test_prescale_same_k_same_subset(spark, k):
     b = {r["key"] for r in prescale(base.repartition(7), "key", k).collect()}
     assert a == b
     assert 0 < len(a) < 500 or k == 1
+
+
+# ----------------------------------------------------- spectral (F9)
+
+
+def test_power_spectrum_matches_numpy_fft(spark):
+    """The Arrow-batched power spectrum must equal a direct
+    numpy.fft.rfft computation for arbitrary (seeded) signals, and
+    handle nulls and ragged lengths."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dqmtools_spark.functions.spectral import power_spectrum_udf
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(40):
+        n = 32 if i % 3 else 24              # ragged batch coverage
+        rows.append((i, rng.standard_normal(n).tolist()))
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "id long, sig array<double>")
+    got = {r["id"]: r["ps"] for r in
+           df.select("id", power_spectrum_udf(F.col("sig")).alias("ps")).collect()}
+    assert got[99] is None
+    for i, sig in rows[:-1]:
+        want = (np.abs(np.fft.rfft(np.asarray(sig))) ** 2)
+        np.testing.assert_allclose(got[i], want, rtol=1e-12, atol=1e-12)
+
+
+def test_spectral_peak_recovers_tone_frequency(spark):
+    """Closed-form law: a pure integer-frequency cosine of amplitude a
+    peaks at its own bin with power (a*n/2)^2."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dqmtools_spark.functions.spectral import (
+        power_spectrum_udf,
+        spectral_peak,
+        synth_tone,
+    )
+
+    df = spark.range(1, 15).select(F.col("id").alias("f"))
+    sig = synth_tone(F.col("f"), n=32, second_freq=15, second_amp=0.25)
+    ps = df.withColumn("_ps", power_spectrum_udf(sig))
+    peak_bin, peak_power = spectral_peak(F.col("_ps"))
+    out = ps.select("f", peak_bin.alias("b"), peak_power.alias("p")).collect()
+    for r in out:
+        assert r["b"] == r["f"]
+        assert abs(r["p"] - 256.0) < 1e-9
