@@ -1,19 +1,37 @@
-"""Streaming ingestion: the batch pipeline applied per micro-batch.
+"""Streaming ingestion: the batch pipeline applied per micro-batch,
+plus native Structured Streaming operators for late data and custom
+state.
 
 The reference has no true streaming (SURVEY §2.9) — its display server
 polls a directory and results append incrementally
 (``dqm_display.py:53-56``, ``dqmtools.py:99-104``).  The idiomatic
-Spark upgrade is a file-source ``readStream`` + ``foreachBatch`` that
-reuses the exact batch pipeline (one code path, two execution modes),
-with checkpointing for exactly-once sink appends.
+Spark upgrades:
+
+- ``stream_pages``: file-source ``readStream`` + ``foreachBatch``
+  reusing the exact batch pipeline (one code path, two execution
+  modes), checkpointed for exactly-once sink appends.
+- ``windowed_keep_counts``: event-time windowed keep/drop metrics with
+  a watermark — late pages beyond the watermark are dropped from the
+  aggregation and state is bounded (the 100 TB/day requirement: state
+  size is O(windows x langs), not O(rows)).
+- ``streaming_first_occurrence``: custom stateful exact-dedup via
+  ``applyInPandasWithState`` — emits only the first occurrence of each
+  content hash across micro-batches; per-key state is one timestamp,
+  expired by a processing-time timeout so state cannot grow without
+  bound.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+import datetime as dt
+from collections.abc import Callable, Iterable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from dqmtools_spark.schemas import PAGES_SCHEMA
 
@@ -57,3 +75,102 @@ def stream_pages(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# -------------------------------------------- watermarked windowed agg
+
+
+def windowed_keep_counts(
+    pages_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed quality metrics over a pages STREAM:
+    per (window(warc_ts), lang) doc counts and a cheap keep heuristic
+    (the full pipeline runs in foreachBatch; this is the native
+    incremental-aggregation surface for dashboards).
+
+    The watermark bounds state: a window's partial aggregate is held
+    only until event time passes ``watermark`` beyond its end, then
+    finalized and evicted — pages later than that are dropped, which is
+    the documented late-data contract.  Works identically on a batch
+    DataFrame (watermark is a no-op there) — used by tests to check
+    values against a plain groupBy.
+    """
+    wc = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(wc >= 15).alias("n_min_len_ok"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "lang",
+            "n_docs",
+            "n_min_len_ok",
+        )
+    )
+
+
+# ------------------------------------- custom stateful op (dedup-first)
+
+_DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+    ]
+)
+
+_DEDUP_STATE_SCHEMA = T.StructType(
+    [T.StructField("first_seen_unix", T.LongType())]
+)
+
+
+def _first_occurrence_fn(
+    key: tuple,
+    pdf_iter: Iterable[pd.DataFrame],
+    state: GroupState,
+):
+    """Grouped-map-with-state worker: key = (content_hash,); state =
+    first-seen timestamp.  Emits the group's earliest row ONCE (first
+    batch in which the hash appears); later occurrences — same batch or
+    any later micro-batch — emit nothing."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    if state.exists:
+        out = rows.iloc[0:0]
+    else:
+        first = rows.sort_values(["warc_ts", "url"]).iloc[:1]
+        state.update((int(dt.datetime.now(dt.timezone.utc).timestamp()),))
+        out = first
+    # keep state for 24h of processing time, then let it expire —
+    # bounded-state contract for an unbounded stream
+    state.setTimeoutDuration(24 * 3600 * 1000)
+    yield out[["content_hash", "url", "warc_ts"]]
+
+
+def streaming_first_occurrence(pages_stream: DataFrame) -> DataFrame:
+    """Exactly-once-per-content streaming dedup: the first page with a
+    given md5(text) passes, all later duplicates are dropped — across
+    micro-batch boundaries, via ``applyInPandasWithState`` (per-key
+    state = one long; timeout-expired so state is bounded).
+
+    The batch analog is ``operators/dedup.exact_dedup``; this is the
+    stream-native tier of the same dedup ladder.
+    """
+    keyed = pages_stream.select(
+        F.md5(F.col("text")).alias("content_hash"), "url", "warc_ts"
+    ).groupBy("content_hash")
+    return keyed.applyInPandasWithState(
+        _first_occurrence_fn,
+        outputStructType=_DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

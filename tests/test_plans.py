@@ -105,3 +105,69 @@ def test_staged_jvm_phase_is_pure_codegen(spark, tmp_path):
     assert audit["python_evals"] == 0
     assert audit["shuffle_exchanges"] == 0
     assert audit["broadcast_joins"] >= 1
+
+
+def test_minhash_md5_banded_join_not_cartesian(spark, sf_dir):
+    """The oracle-checkable MinHash tier keeps the same join shape:
+    equi-join on (band, signature slice) — never all-pairs."""
+    from dqmtools_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs_md5(d, "text", "doc_id")
+    plan = explain_str(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_md5_banded_join_not_cartesian(spark, sf_dir):
+    from dqmtools_spark.functions.hashing import md5_hash60
+    from dqmtools_spark.operators.dedup import simhash_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = simhash_pairs(d, "text", "doc_id", max_hamming=6, n_bits=60,
+                          token_hash=md5_hash60)
+    plan = explain_str(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_int_lsh_dup_pairs_bucket_equijoin(spark, sf_dir):
+    """Integer-plane embedding dedup: candidates come from a bucket
+    equi-join (one ArrowEvalPython for the bucket UDF, no cartesian)."""
+    import re
+
+    from dqmtools_spark.operators.similarity import (
+        embedding_cosine_pairs_int,
+        int_planes,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_cosine_pairs_int(
+        e, "embedding", "vec_id", int_planes(64, 6), threshold=0.35
+    )
+    plan = explain_str(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    audit = plan_audit(pairs)
+    assert audit["row_python_evals"] == 0
+
+
+def test_int_bucket_expr_matches_pandas_udf(spark, sf_dir):
+    """The JVM-expression bucket twin must equal the numpy path exactly
+    (both are exact integer arithmetic)."""
+    from dqmtools_spark.operators.similarity import (
+        build_int_ann_index,
+        int_bucket_expr,
+        int_planes,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    planes = int_planes(64, 5)
+    via_udf = {r["vec_id"]: r["bucket"]
+               for r in build_int_ann_index(e, "embedding", planes).collect()}
+    via_expr = {r["vec_id"]: r["bucket"]
+                for r in e.select(
+                    "vec_id",
+                    int_bucket_expr(F.col("embedding"), planes).alias("bucket"),
+                ).collect()}
+    assert via_udf == via_expr

@@ -41,3 +41,106 @@ def test_stream_processes_backlog_and_checkpoints(spark, tmp_path):
     q3.awaitTermination(120)
     assert spark.read.parquet(out).count() == 250
     assert os.path.isdir(ckpt)
+
+
+def test_windowed_keep_counts_with_watermark(spark, tmp_path):
+    """Event-time windowed agg + watermark over a stream; values must
+    equal the same expression run as a plain batch groupBy."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dqmtools_spark.streaming.stream import windowed_keep_counts
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(120):
+        ts = base + dt.timedelta(minutes=i)          # spans two 1h windows
+        text = "word " * (20 if i % 3 else 5)
+        rows.append((f"u{i}", ts, text.encode(), text, "en"))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    inp = str(tmp_path / "in")
+    df.coalesce(2).write.parquet(inp)
+
+    stream = (
+        spark.readStream.schema(df.schema).parquet(inp)
+    )
+    q = (
+        windowed_keep_counts(stream, window="1 hour", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("winkeep")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"], r["lang"]): (r["n_docs"], r["n_min_len_ok"])
+        for r in spark.sql("SELECT * FROM winkeep").collect()
+    }
+    want = {
+        (r["win_start"], r["lang"]): (r["n_docs"], r["n_min_len_ok"])
+        for r in windowed_keep_counts(df).collect()   # batch: watermark no-op
+    }
+    # append mode emits only windows finalized by the watermark; every
+    # emitted window must match the batch ground truth, and at least
+    # the first (closed) window must have been emitted
+    assert got, "no window finalized"
+    for k, v in got.items():
+        assert want[k] == v, k
+    counts = [v[0] for v in want.values()]
+    assert sum(counts) == 120
+
+
+def test_streaming_first_occurrence_dedups_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates within a batch AND in a
+    later micro-batch are dropped; only first occurrences pass."""
+    import datetime as dt
+
+    from dqmtools_spark.streaming.stream import streaming_first_occurrence
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    def page(url, minute, text):
+        return (url, base + dt.timedelta(minutes=minute), text.encode(), text, "en")
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: A twice (in-batch dup), B once
+    spark.createDataFrame(
+        [page("a1", 0, "content A"), page("a2", 1, "content A"),
+         page("b1", 2, "content B")], schema
+    ).coalesce(1).write.parquet(inp)
+
+    def run_once():
+        # parquet sink (memory sink cannot recover from a checkpoint);
+        # state lives in the checkpoint across restarts
+        stream = spark.readStream.schema(spark.read.parquet(inp).schema).parquet(inp)
+        q = (
+            streaming_first_occurrence(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {"a1", "b1"}          # earliest per hash; in-batch dup dropped
+
+    # batch 2: A again (cross-batch dup) + new C — state must survive
+    # the restart via the checkpoint
+    spark.createDataFrame(
+        [page("a3", 9, "content A"), page("c1", 10, "content C")], schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+    run_once()
+    got2 = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {"a1", "b1", "c1"}, "cross-batch duplicate must be dropped"
