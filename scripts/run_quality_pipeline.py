@@ -64,6 +64,10 @@ def main() -> None:
     ap.add_argument("--config", help="JSON file overriding rule thresholds "
                                      "(the reference's per-detector config, "
                                      "dqm_analyzer.py:29-45)")
+    ap.add_argument("--metrics-png", action="store_true",
+                    help="also render the rule-metrics cube to "
+                         "<output>/rule_metrics.png (S9 image sink; "
+                         "pure-Python encoder, no plotting libs)")
     args = ap.parse_args()
 
     from dqmtools_spark.pipeline import run_pipeline, rule_metrics_from_results
@@ -114,10 +118,17 @@ def main() -> None:
         from dqmtools_spark.sources.tables import read_table
 
         applied = [o.rule.name for o in outcomes if o.column is not None]
-        write_table(
-            rule_metrics_from_results(read_table(spark, ckpt.results_path), applied),
-            os.path.join(args.output, "rule_metrics"),
+        metrics = rule_metrics_from_results(
+            read_table(spark, ckpt.results_path), applied
         )
+        write_table(metrics, os.path.join(args.output, "rule_metrics"))
+        if args.metrics_png:
+            from dqmtools_spark.sources.imagesink import write_metrics_png
+
+            write_metrics_png(
+                metrics, os.path.join(args.output, "rule_metrics.png"),
+                row_key="lang_pred",
+            )
 
     summary["wall_sec"] = round(time.perf_counter() - t0, 2)
     summary["rules"] = [o.rule.name for o in outcomes]

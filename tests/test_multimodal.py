@@ -139,3 +139,37 @@ def test_frame_sample_plan_explodes_every_n(spark):
     assert sorted(by_id[6]) == [0, 30, 60]
     # small/None payloads still emit frame 0 (greatest(...) guard)
     assert by_id[1] == [0]
+
+
+def test_image_sink_renders_metrics_png(spark, tmp_path):
+    """S9 image sink: rule-metrics frame -> PNG heatmap, decoded back
+    with our own codec and spot-checked pixel-exactly."""
+    import os
+
+    from dqmtools_spark.functions.pngcodec import decode_png
+    from dqmtools_spark.pipeline import rule_metrics_from_results, run_pipeline
+    from dqmtools_spark.sources.imagesink import matrix_to_png, write_metrics_png
+    from dqmtools_spark.synth import synth_pages
+
+    res, outcomes = run_pipeline(spark, synth_pages(spark, 200, seed=9))
+    applied = [o.rule.name for o in outcomes if o.column is not None]
+    metrics = rule_metrics_from_results(res, applied)
+
+    path = str(tmp_path / "metrics.png")
+    w, h = write_metrics_png(metrics, path, row_key="lang_pred")
+    gw, gh, c, pix = decode_png(open(path, "rb").read())
+    assert (gw, gh, c) == (w, h, 3)
+    assert os.path.getsize(path) > 100
+
+    # pixel-exact spot check on a tiny known matrix:
+    # min -> pure blue-ish end, max -> red end, None -> gray
+    png = matrix_to_png([[0.0, 1.0], [None, 0.5]], cell=2, grid=1)
+    mw, mh, mc, mp = decode_png(png)
+    def px(x, y):
+        i = (y * mw + x) * 3
+        return tuple(mp[i:i + 3])
+    assert px(0, 0) == (32, 32, 32)            # grid line
+    assert px(1, 1) == (40, 80, 255)           # min cell = blue end
+    assert px(4, 1) == (255, 80, 40)           # max cell = red end
+    assert px(1, 4) == (128, 128, 128)         # None cell = gray
+    assert px(4, 4) == (255, 255, 255)         # mid cell = white
