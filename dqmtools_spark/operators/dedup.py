@@ -191,6 +191,8 @@ def minhash_lsh_pairs(
     s=0.8 gives ~97% recall.  Shuffle plan: one exchange to bucket-join
     on (band, band_hash), one to verify (shingles re-joined by id).
     """
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -200,14 +202,15 @@ def minhash_lsh_pairs(
         # the shingle table feeds three consumers (signatures + both
         # sides of the verify join); persisting trades memory/disk for
         # 2 recomputes of the shingling pass over the corpus
-        from pyspark import StorageLevel
-
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
     # null-signature docs (null/empty shingle set) cannot be near-dups;
     # drop them BEFORE banding — a null slice would hash to a constant
-    # bucket and pair every degenerate doc with every other
-    sigs = minhash_signatures(base, "_id", "_sh", num_hashes).filter(
-        F.col("_sig").isNotNull()
+    # bucket and pair every degenerate doc with every other.  Persisted:
+    # both sides of the banded self-join read the signature table.
+    sigs = (
+        minhash_signatures(base, "_id", "_sh", num_hashes)
+        .filter(F.col("_sig").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     band_cols = [
@@ -311,6 +314,9 @@ def minhash_lsh_pairs_md5(
             ).alias("_sig"),
         )
         .filter(F.col("_sig").isNotNull())
+        # both sides of the banded self-join read this; persist so the
+        # minhash aggregate runs once (O(docs x num_hashes x 8B) cache)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     banded = sigs.select(
@@ -522,12 +528,12 @@ def simhash_signatures(
         F.explode_outer(toks).alias("_h"),
     )
     one = F.lit(1).cast("long")
+    # per-bit vote sum(+1/-1 over tokens) = 2*sum(bit_i) - n_tokens, so
+    # aggregating the raw bit (one shift+and per bit, no CASE) and
+    # comparing 2*s_i >= n gives bit-identical signatures at about half
+    # the per-row expression cost of the +-1 CASE form
     votes = [
-        F.sum(
-            F.when(F.col("_h").isNull(), F.lit(0))
-            .when(F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(one) == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-        ).alias(f"_v{i}")
+        F.sum(F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(one)).alias(f"_v{i}")
         for i in range(n_bits)
     ]
     agg = ex.groupBy(id_col).agg(
@@ -536,7 +542,9 @@ def simhash_signatures(
     sig = F.lit(0).cast("long")
     for i in range(n_bits):
         sig = sig.bitwiseOR(
-            F.when(F.col(f"_v{i}") >= 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"_v{i}") * 2 >= F.col("_n"), F.shiftleft(one, i)).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     return agg.select(
         F.col(id_col),
@@ -596,6 +604,13 @@ def simhash_pairs(
         n_bits=n_bits,
         token_hash=token_hash,
     )
+    # the signature table feeds BOTH sides of the banded self-join;
+    # without a persist the token-explode + n_bits-sum aggregate runs
+    # twice.  The cached table is O(docs x 8B) — negligible at any
+    # scale next to recomputing the signature pass.
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     bounds = band_boundaries(n_bits, n_bands)
     bands = sig.select(
         "_id",
