@@ -22,6 +22,7 @@ COLLECT_ALLOWED = {
     "rules/core.py",           # dataset-level fold: 1-row agg
     "rules/report.py",         # ascii_table renders post-agg frames
     "operators/similarity.py", # query-vector .first() for knn entry
+    "sources/imagesink.py",    # image sink renders POST-AGG frames only
 }
 
 
