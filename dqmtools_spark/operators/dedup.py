@@ -46,13 +46,15 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def word_shingles(text: F.Column, n: int = 3) -> F.Column:
     """Distinct word n-grams (array<string>); docs shorter than n words
-    fall back to their full token set so they still participate."""
+    fall back to their full token set so they still participate.
+    NULL text -> NULL (not the empty-string shingle set — a null doc
+    must never pair, matching the hashed-shingle tier's contract)."""
     words = F.split(F.trim(text), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(words, i, n)),
     )
-    return F.array_distinct(grams)
+    return F.when(text.isNotNull(), F.array_distinct(grams))
 
 
 def word_shingle_hashes(text: F.Column, n: int = 3) -> F.Column:

@@ -79,3 +79,89 @@ def test_determinism_across_runs(spark, adversarial):
     r = again.first()
     assert r["scrubbed_text"] == rows["u://invalid-utf8"]["scrubbed_text"]
     assert r["reasons"] == rows["u://invalid-utf8"]["reasons"]
+
+
+# ---------------------------------------- round-2 tier degenerate inputs
+
+
+def test_minhash_md5_degenerate_docs(spark):
+    """null / empty / whitespace / single-word docs must not blow up or
+    flood a constant bucket; identical degenerate docs still pair."""
+    from dqmtools_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "word"), (5, "word"),
+         (6, "a completely ordinary sentence with enough words in it")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs_md5(df, "text", "doc_id").collect()}
+    assert (4, 5) in pairs and pairs[(4, 5)] == 1.0   # identical one-worders
+    assert all(1 not in p for p in pairs)             # null text never pairs
+    # "" and "   " both shingle to {''} -> legitimately identical
+    assert (2, 3) in pairs
+
+
+def test_simhash_md5_degenerate_docs(spark):
+    from dqmtools_spark.functions.hashing import md5_hash60
+    from dqmtools_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "x y z"), (5, "x y z")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(df, "text", "doc_id", max_hamming=0,
+                                    n_bits=60, token_hash=md5_hash60).collect()}
+    assert pairs.get((4, 5)) == 0
+    assert pairs.get((2, 3)) == 0                     # both empty -> sig 0
+    assert all(1 not in p for p in pairs)             # null text excluded
+
+
+def test_int_lsh_zero_and_negative_vectors(spark):
+    """Zero vectors land in one well-defined bucket (all signs >= 0);
+    negated vectors land in the complementary bucket."""
+    from dqmtools_spark.operators.similarity import (
+        build_int_ann_index,
+        int_bucket_py,
+        int_planes,
+    )
+
+    planes = int_planes(4, 5)
+    rows = [(1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [0.5, -0.25, 0.125, -0.5]),
+            (3, [-0.5, 0.25, -0.125, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["bucket"]
+           for r in build_int_ann_index(df, "embedding", planes).collect()}
+    assert got[1] == (1 << 5) - 1                     # zero proj -> all bits set
+    assert got[2] == int_bucket_py(rows[1][1], planes)
+    assert got[2] ^ got[3] == (1 << 5) - 1            # exact complement
+
+
+def test_ivf_ip_fewer_rows_than_centroids(spark):
+    """n_centroids > corpus size must degrade gracefully (centroids =
+    every row) and still answer queries."""
+    from dqmtools_spark.operators.similarity import build_ivf_ip_index, ivf_ip_query
+
+    rows = [(i, [float(i + 1), float(-i)]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    indexed, cents = build_ivf_ip_index(df, "embedding", "vec_id", n_centroids=8)
+    assert len(cents) == 3
+    out = ivf_ip_query(indexed, cents, "embedding", "vec_id",
+                       [1.0, 0.0], k=5, n_probe=8)
+    assert out.count() == 3
+
+
+def test_spectral_peak_handles_empty_and_null(spark):
+    from pyspark.sql import functions as F
+
+    from dqmtools_spark.functions.spectral import power_spectrum_udf
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "id long, sig array<double>"
+    )
+    got = {r["id"]: r["ps"] for r in
+           df.select("id", power_spectrum_udf(F.col("sig")).alias("ps")).collect()}
+    assert got[2] is None
+    assert len(got[1]) == 2                            # rfft of n=2 -> 2 bins
