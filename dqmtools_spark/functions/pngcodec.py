@@ -68,9 +68,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
         pos += 12 + length
     if width is None:
         raise ValueError("missing IHDR")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bound the inflate to the declared pixel size: a crafted
+    # decompression bomb (tiny IDAT inflating to GBs) must not be able
+    # to exhaust worker memory before the size check runs
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or (d.unconsumed_tail or not d.eof):
         raise ValueError("IDAT length mismatch")
 
     out = bytearray(stride * height)

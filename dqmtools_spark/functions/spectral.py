@@ -55,11 +55,12 @@ def power_spectrum_udf(arr: pd.Series) -> pd.Series:
 def spectral_peak(ps_col: Column) -> tuple[Column, Column]:
     """(peak_bin, peak_power) of a one-sided power spectrum, skipping
     the DC bin — pure JVM expressions over the UDF's output array.
-    ``array_position`` returns the FIRST index of the max (ties break
-    to the lowest frequency, deterministically)."""
+    The position search runs over the DC-free tail (its 1-based index
+    IS the bin number), so a DC value equal to the tail max can never
+    win; ties within the tail break to the lowest frequency."""
     tail = F.slice(ps_col, 2, F.greatest(F.size(ps_col) - 1, F.lit(0)))
     peak_power = F.array_max(tail)
-    peak_bin = (F.array_position(ps_col, peak_power) - 1).cast("int")
+    peak_bin = F.array_position(tail, peak_power).cast("int")
     return peak_bin, peak_power
 
 

@@ -141,27 +141,32 @@ def minhash_signature(shingles: F.Column, num_hashes: int = 32) -> F.Column:
 
 
 def minhash_signatures(
-    shingled: DataFrame, id_col: str, sh_col: str, num_hashes: int = 32
+    shingled: DataFrame,
+    id_col: str,
+    sh_col: str,
+    num_hashes: int = 32,
+    seed_hash=None,
 ) -> DataFrame:
     """(id, shingles) -> (id, sig array<long>) via explode + groupBy-min.
 
-    Same hash family as :func:`minhash_signature` (xxhash64 over the
-    (shingle, i) tuple) so signatures are bit-identical — including the
+    Default hash family: :func:`minhash_signature`'s (xxhash64 over the
+    (shingle, i) tuple), so signatures are bit-identical — including the
     null-signature contract for null/empty shingle sets (explode_outer
     keeps the doc's row but the guarded hash yields no values, so every
     min is null and the signature folds to null; without the guard,
     ``xxhash64(null, seed)`` hashes the seed alone and all degenerate
     docs share one constant signature, flooding a single LSH bucket).
+    ``seed_hash(col, i) -> Column`` swaps the family (the md5 tier
+    passes Carter–Wegman arithmetic over pre-hashed shingles).
     The 32 mins run as ONE whole-stage-codegen hash aggregate instead
     of 32 interpreted array passes.  Scale shape: a doc's shingles sit
     in one input row, so map-side partial aggregation collapses back to
     one row per doc before the exchange — the shuffle is O(docs), not
     O(shingles)."""
+    fam = seed_hash or (lambda c, i: F.xxhash64(c, F.lit(i)))
     ex = shingled.select(F.col(id_col), F.explode_outer(sh_col).alias("_s"))
     mins = [
-        F.min(
-            F.when(F.col("_s").isNotNull(), F.xxhash64(F.col("_s"), F.lit(i)))
-        ).alias(f"_h{i}")
+        F.min(F.when(F.col("_s").isNotNull(), fam(F.col("_s"), i))).alias(f"_h{i}")
         for i in range(num_hashes)
     ]
     return (
@@ -174,6 +179,79 @@ def minhash_signatures(
                 F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]),
             ).alias("_sig"),
         )
+    )
+
+
+def _lsh_band_verify(
+    base: DataFrame,
+    sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    hash_buckets: bool,
+) -> DataFrame:
+    """Shared LSH core: band the signatures, self-join on the band
+    bucket, verify candidates with exact Jaccard over the shingle sets.
+
+    ``base`` = (_id, _sh) shingle table (persisted by the caller —
+    verify reads it twice); ``sigs`` = (_id, _sig) with null signatures
+    already filtered.  ``hash_buckets=True`` joins on
+    ``xxhash64(slice)`` (compact shuffle key, Spark-only);
+    ``False`` joins on the raw slice (array equi-join — exactly "some
+    band agrees", reproducible in oracle SQL).  Both are equi-joins:
+    never cartesian, AQE splits hot buckets.
+    """
+    from pyspark import StorageLevel
+
+    rows_per_band = num_hashes // bands
+    # both sides of the self-join read the signature table; persist so
+    # the minhash aggregate runs once (O(docs x num_hashes x 8B) cache;
+    # long-lived sessions may spark.catalog.clearCache() between runs)
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def bucket(b: int) -> F.Column:
+        sl = F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+        return F.xxhash64(sl) if hash_buckets else sl
+
+    banded = sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), bucket(b).alias("val"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_b.band", "_b.val")
+
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = base.select("_id", "_sh")
+    return (
+        cand.join(
+            sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        # raw, not rounded: one exact int/int division is bit-identical
+        # in every engine, so an oracle needs no rounding fuzz
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -192,10 +270,12 @@ def minhash_lsh_pairs(
     bands=8 x rows=4 over 32 hashes -> collision prob ~ s^4 per band;
     s=0.8 gives ~97% recall.  Shuffle plan: one exchange to bucket-join
     on (band, band_hash), one to verify (shingles re-joined by id).
+    Null signatures (null/empty shingle set) are dropped BEFORE banding
+    — a null slice would hash to a constant bucket and pair every
+    degenerate doc with every other.
     """
     from pyspark import StorageLevel
 
-    rows_per_band = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("_id"),
         word_shingle_hashes(F.col(text_col), n).alias("_sh"),
@@ -205,51 +285,12 @@ def minhash_lsh_pairs(
         # sides of the verify join); persisting trades memory/disk for
         # 2 recomputes of the shingling pass over the corpus
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    # null-signature docs (null/empty shingle set) cannot be near-dups;
-    # drop them BEFORE banding — a null slice would hash to a constant
-    # bucket and pair every degenerate doc with every other.  Persisted:
-    # both sides of the banded self-join read the signature table.
-    sigs = (
-        minhash_signatures(base, "_id", "_sh", num_hashes)
-        .filter(F.col("_sig").isNotNull())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(base, "_id", "_sh", num_hashes).filter(
+        F.col("_sig").isNotNull()
     )
-
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)).alias(
-                "bucket"
-            ),
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select(
-        "_id", F.explode(F.array(*band_cols)).alias("_band")
-    ).select("_id", "_band.band", "_band.bucket")
-
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
+    return _lsh_band_verify(
+        base, sigs, num_hashes, bands, threshold, hash_buckets=True
     )
-
-    sh = base.select("_id", "_sh")
-    verified = (
-        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return verified
 
 
 def minhash_lsh_pairs_md5(
@@ -276,95 +317,32 @@ def minhash_lsh_pairs_md5(
     - verify: exact Jaccard over the hashed shingle sets (integer set
       ops; the emitted double is one exact division).
 
-    Same scale shape as the xxhash64 tier: signatures via ONE codegen
-    hash aggregate, candidates via banded equi-join (shuffle key =
-    (band, slice)), no all-pairs path.  ~2x more per-row hash cost than
+    Same scale shape as the xxhash64 tier — both are thin wrappers over
+    the shared :func:`_lsh_band_verify` core (signatures via ONE
+    codegen hash aggregate in :func:`minhash_signatures`, banded
+    equi-join, no all-pairs path).  ~2x more per-row hash cost than
     xxhash64 (md5) — the xxhash64 tier remains the default at scale;
     this tier is the verifiable one.
     """
+    from pyspark import StorageLevel
+
     from dqmtools_spark.functions.hashing import P31, md5_hash60, universal_hash_consts
 
     consts = universal_hash_consts(num_hashes)
-    rows_per_band = num_hashes // bands
     sh = F.array_distinct(
         F.transform(
             word_shingles(F.col(text_col), n), lambda s: md5_hash60(s) % P31
         )
     )
-    base = df.select(F.col(id_col).alias("_id"), sh.alias("_sh"))
-    from pyspark import StorageLevel
-
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
-
-    ex = base.select("_id", F.explode_outer("_sh").alias("_x"))
-    mins = [
-        F.min(
-            F.when(
-                F.col("_x").isNotNull(), (F.lit(a) * F.col("_x") + F.lit(b)) % P31
-            )
-        ).alias(f"_h{i}")
-        for i, (a, b) in enumerate(consts)
-    ]
-    sigs = (
-        ex.groupBy("_id")
-        .agg(*mins)
-        .select(
-            "_id",
-            F.when(
-                F.col("_h0").isNotNull(),
-                F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]),
-            ).alias("_sig"),
-        )
-        .filter(F.col("_sig").isNotNull())
-        # both sides of the banded self-join read this; persist so the
-        # minhash aggregate runs once (O(docs x num_hashes x 8B) cache)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    base = df.select(F.col(id_col).alias("_id"), sh.alias("_sh")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-
-    banded = sigs.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.slice(
-                            F.col("_sig"), b * rows_per_band + 1, rows_per_band
-                        ).alias("val"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_b"),
-    ).select("_id", "_b.band", "_b.val")
-
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.val") == F.col("r.val"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
+    cw = lambda c, i: (F.lit(consts[i][0]) * c + F.lit(consts[i][1])) % P31  # noqa: E731
+    sigs = minhash_signatures(base, "_id", "_sh", num_hashes, seed_hash=cw).filter(
+        F.col("_sig").isNotNull()
     )
-
-    shs = base.select("_id", "_sh")
-    return (
-        cand.join(
-            shs.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"),
-            "id_a",
-        )
-        .join(
-            shs.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"),
-            "id_b",
-        )
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        # raw, not rounded: one exact int/int division is bit-identical
-        # in every engine, so the oracle needs no rounding fuzz at all
-        .select("id_a", "id_b", "jaccard")
+    return _lsh_band_verify(
+        base, sigs, num_hashes, bands, threshold, hash_buckets=False
     )
 
 

@@ -121,7 +121,10 @@ def png_pixel_features(payload: bytes) -> np.ndarray | None:
 
     try:
         w, h, c, pix = decode_png(payload)
-    except (ValueError, NotImplementedError, zlib_error):
+    except (ValueError, NotImplementedError, zlib_error, struct.error, IndexError):
+        # any malformed payload (truncated header, bad chunk lengths,
+        # corrupt deflate stream) degrades to a null feature — one bad
+        # row must never fail the job
         return None
     arr = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(h, w, c)
     f = arr.astype(np.float64)

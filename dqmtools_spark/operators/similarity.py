@@ -122,12 +122,15 @@ def ann_query(
 # A second hyperplane family in EXACT integer arithmetic, so the bucket
 # assignment is reproducible bit-for-bit in any engine (numpy, Spark
 # JVM expressions, DuckDB SQL) — the oracle-checkable tier.  Vectors
-# are quantized to int64 at QUANT_SCALE (ties are impossible: a tie
-# needs v*10^6 to land exactly on k+0.5, whose denominator contains 5^6
-# and therefore has no finite binary representation); planes are small
-# deterministic integers.  All dot products stay below 2^40, far inside
-# both int64 and the 2^53 exact-double window, so every engine computes
-# identical projections and identical sign buckets.
+# are quantized to int64 as floor(v * QUANT_SCALE): floor is exactly
+# defined on the already-computed double (one IEEE multiply, identical
+# everywhere), so there is NO rounding-mode freedom at all.  (round()
+# would NOT be safe: the double v*10^6 can land exactly on k+0.5 —
+# e.g. float32 1/128 * 1e6 == 7812.5 — where numpy's half-even, Java's
+# HALF_UP and C's half-away disagree.)  Planes are small deterministic
+# integers; all dot products stay below 2^40, far inside both int64 and
+# the 2^53 exact-double window, so every engine computes identical
+# projections and identical sign buckets.
 
 QUANT_SCALE = 1_000_000
 
@@ -151,11 +154,11 @@ def int_planes(dim: int, n_planes: int, scale: int = 999, tag: str = "plane") ->
 
 
 def quantize_vec(col: Column) -> Column:
-    """array<float> -> array<long> at QUANT_SCALE (exact round-half-away,
-    identical in Spark/DuckDB/numpy because ties cannot occur)."""
+    """array<float> -> array<long> as floor(x * QUANT_SCALE) — exact
+    and rounding-mode-free, identical in Spark/DuckDB/numpy/Python."""
     return F.transform(
         col.cast("array<double>"),
-        lambda x: F.round(x * F.lit(float(QUANT_SCALE))).cast("long"),
+        lambda x: F.floor(x * F.lit(float(QUANT_SCALE))).cast("long"),
     )
 
 
@@ -169,7 +172,7 @@ def int_bucket_udf(planes: list[list[int]]):
     @F.pandas_udf(T.IntegerType())
     def bucket(vec: pd.Series) -> pd.Series:
         mat = np.vstack(vec.to_numpy()).astype(np.float64)
-        q = np.rint(mat * QUANT_SCALE).astype(np.int64)  # ties impossible
+        q = np.floor(mat * QUANT_SCALE).astype(np.int64)  # exact, mode-free
         signs = (q @ pl) >= 0
         return pd.Series((signs @ weights).astype(np.int32))
 
@@ -204,7 +207,9 @@ def build_int_ann_index(
 
 def int_bucket_py(vec: list[float], planes: list[list[int]]) -> int:
     """Driver-side parity of the bucket function (pure Python ints)."""
-    q = [round(v * QUANT_SCALE) for v in vec]
+    import math
+
+    q = [math.floor(v * QUANT_SCALE) for v in vec]
     b = 0
     for p, plane in enumerate(planes):
         if sum(x * w for x, w in zip(q, plane)) >= 0:
@@ -310,7 +315,7 @@ def _assign_ip_udf(centroids: list[list[int]]):
     @F.pandas_udf(T.IntegerType())
     def assign(vec: pd.Series) -> pd.Series:
         mat = np.vstack(vec.to_numpy()).astype(np.float64)
-        q = np.rint(mat * QUANT_SCALE).astype(np.int64)
+        q = np.floor(mat * QUANT_SCALE).astype(np.int64)
         dots = q @ c.T  # exact: |dot| < 2^41
         return pd.Series(np.argmax(dots, axis=1).astype(np.int32))
 
@@ -320,7 +325,9 @@ def _assign_ip_udf(centroids: list[list[int]]):
 def ivf_ip_probe(centroids: list[list[int]], query: list[float], n_probe: int) -> list[int]:
     """Top-n_probe centroid indices by exact int dot with the query
     (ties -> smaller index), driver-side pure-Python ints."""
-    qq = [round(v * QUANT_SCALE) for v in query]
+    import math
+
+    qq = [math.floor(v * QUANT_SCALE) for v in query]
     scored = [
         (sum(x * w for x, w in zip(qq, c)), -i) for i, c in enumerate(centroids)
     ]

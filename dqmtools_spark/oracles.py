@@ -19,16 +19,20 @@ oracle from the engine.
 
 from __future__ import annotations
 
-from dqmtools_spark.functions.hashing import P31, universal_hash_consts
+from dqmtools_spark.functions.hashing import (
+    P31,
+    md5_hash60_sql,
+    universal_hash_consts,
+)
 from dqmtools_spark.functions.textproc import LANG_MARKERS, lm_and_oov
 from dqmtools_spark.functions.textstats import ALL_MARKERS
 from dqmtools_spark.operators.similarity import QUANT_SCALE
 from dqmtools_spark.rules.builtin import LANG_THRESHOLDS, THRESHOLDS
 
 
-def _md5h(expr: str) -> str:
-    """60-bit md5 hash fragment (parity: hashing.md5_hash60)."""
-    return f"(('0x' || SUBSTRING(MD5({expr}), 1, 15))::BIGINT)"
+# 60-bit md5 hash fragment — the ONE definition, shared with the Spark
+# column form via functions/hashing.py
+_md5h = md5_hash60_sql
 
 
 def _in_list(words) -> str:
@@ -67,8 +71,10 @@ def minhash_pairs_sql(
     )
     return f"""
         WITH w0 AS (
+            -- NULL text is excluded up front (Spark: null shingle set
+            -- -> null signature -> filtered before banding)
             SELECT doc_id, REGEXP_EXTRACT_ALL(TRIM(text), '\\S+') AS w
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ),
         grams AS (
             SELECT doc_id,
@@ -127,9 +133,12 @@ def simhash_pairs_sql(max_hamming: int = 6, n_bits: int = 60) -> str:
             FROM votes GROUP BY doc_id
         ),
         sigs AS (
-            -- docs with an empty token set have signature 0 (tie votes)
+            -- empty token set (hs = []) -> signature 0 (tie votes);
+            -- NULL text (hs IS NULL) -> excluded, matching the Spark
+            -- tier's null-signature contract
             SELECT t.doc_id, COALESCE(sig0.sig, 0) AS sig
             FROM t LEFT JOIN sig0 ON t.doc_id = sig0.doc_id
+            WHERE t.hs IS NOT NULL
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
@@ -151,9 +160,12 @@ def _bucket_expr(qcol: str, planes: list[list[int]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# floor, not round: floor of the (identically-computed) double has no
+# rounding-mode freedom, so every engine quantizes bit-identically even
+# when y*SCALE lands exactly on k+0.5 (possible with float32 inputs)
 _QUANT = (
     "LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), "
-    f"y -> CAST(ROUND(y * {QUANT_SCALE}) AS BIGINT))"
+    f"y -> CAST(FLOOR(y * {QUANT_SCALE}) AS BIGINT))"
 )
 
 _COS = (

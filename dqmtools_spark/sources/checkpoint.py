@@ -112,6 +112,10 @@ class CheckpointedRun:
                 )
             )
         work = work.observe(obs, F.count(F.lit(1)).alias("total"), *per_bucket_exprs)
+        # the write runs even when the pending slice turns out empty
+        # (an empty append writes no part files) — knowing total before
+        # the action would cost the extra counting pass this rewrite
+        # removed; one empty job per fully-resumed re-submit is cheaper
         write_table(work, self.results_path, partition_by=["part_key"])
         counters = obs.get
         total = int(counters["total"])

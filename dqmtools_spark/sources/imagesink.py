@@ -39,10 +39,15 @@ def matrix_to_png(
     grid: int = 1,
 ) -> bytes:
     """Numeric matrix -> PNG heatmap bytes (None cells render gray)."""
+    n_r = len(rows)
+    n_c = max((len(r) for r in rows), default=0)
+    if n_r == 0 or n_c == 0:
+        # degenerate report (no groups / no numeric columns): a 1x1
+        # gray marker image, not a crash at the end of the job
+        return encode_png(bytes((128, 128, 128)), 1, 1, 3)
     vals = [v for r in rows for v in r if v is not None]
     lo, hi = (min(vals), max(vals)) if vals else (0.0, 1.0)
     span = (hi - lo) or 1.0
-    n_r, n_c = len(rows), max(len(r) for r in rows)
     w = n_c * (cell + grid) + grid
     h = n_r * (cell + grid) + grid
     buf = bytearray([32, 32, 32] * (w * h))  # grid color

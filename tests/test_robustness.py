@@ -165,3 +165,55 @@ def test_spectral_peak_handles_empty_and_null(spark):
            df.select("id", power_spectrum_udf(F.col("sig")).alias("ps")).collect()}
     assert got[2] is None
     assert len(got[1]) == 2                            # rfft of n=2 -> 2 bins
+
+
+def test_spectral_peak_dc_tie_never_wins(spark):
+    """Signal [1,0,1,0] has power 4.0 at BOTH bin 0 (DC) and bin 2; the
+    peak search must return bin 2 (DC excluded), not 0."""
+    from pyspark.sql import functions as F
+
+    from dqmtools_spark.functions.spectral import power_spectrum_udf, spectral_peak
+
+    df = spark.createDataFrame([(1, [1.0, 0.0, 1.0, 0.0])], "id long, sig array<double>")
+    ps = df.withColumn("_ps", power_spectrum_udf(F.col("sig")))
+    peak_bin, peak_power = spectral_peak(F.col("_ps"))
+    r = ps.select(peak_bin.alias("b"), F.round(peak_power, 6).alias("p")).first()
+    assert r["b"] == 2 and r["p"] == 4.0
+
+
+def test_quantization_exact_half_is_engine_consistent(spark):
+    """float32(1/128)*1e6 == 7812.5 exactly — the rounding-mode trap
+    (numpy half-even vs Java HALF_UP vs C half-away).  floor-based
+    quantization must agree across the pandas UDF, the JVM expression,
+    pure Python, and DuckDB."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from dqmtools_spark.operators.similarity import (
+        QUANT_SCALE,
+        build_int_ann_index,
+        int_bucket_expr,
+        int_bucket_py,
+        int_planes,
+        quantize_vec,
+    )
+
+    v = [1.0 / 128, -1.0 / 128, 0.25, -0.5]        # first two hit k+-0.5
+    planes = int_planes(4, 3)
+    df = spark.createDataFrame([(1, v)], "vec_id long, embedding array<float>")
+
+    q_jvm = df.select(quantize_vec(F.col("embedding")).alias("q")).first()["q"]
+    q_duck = [
+        r[0] for r in duckdb.sql(
+            f"SELECT CAST(FLOOR(y * {QUANT_SCALE}) AS BIGINT) "
+            f"FROM (SELECT UNNEST({v}::DOUBLE[]) AS y)"
+        ).fetchall()
+    ]
+    assert list(q_jvm) == q_duck == [7812, -7813, 250000, -500000]
+
+    b_udf = build_int_ann_index(df, "embedding", planes).first()["bucket"]
+    b_expr = df.select(
+        int_bucket_expr(F.col("embedding"), planes).alias("b")
+    ).first()["b"]
+    assert b_udf == b_expr == int_bucket_py(v, planes)
