@@ -100,3 +100,23 @@ def test_rows_only_query_runs(spark, name):
     df = _QUERIES[name](spark, SF_DIR)
     assert df.schema.fields, name
     assert df.count() >= 0, name
+
+
+def test_extract_text_identity_on_driver_corpus():
+    """pipeline_result_sql computes from raw `text`; that is valid only
+    while extract_text(encode(text)) == text for the driver corpus —
+    assert it for every sf directory (no Spark needed)."""
+    import glob
+
+    import duckdb
+
+    from dqmtools_spark.functions.textproc import extract_text
+
+    dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert dirs, "no testdata directories found"
+    for d in dirs:
+        rows = duckdb.sql(f"SELECT text FROM '{d}/documents.parquet'").fetchall()
+        assert rows
+        for (t,) in rows:
+            assert t is not None
+            assert extract_text(t.encode("utf-8")) == t, f"{d}: not identity"
