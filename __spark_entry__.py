@@ -745,6 +745,24 @@ def q_ivf_topk(spark, sf):
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_doc_line_dedup(spark, sf):
+    """Intra-document boilerplate removal: drop repeated lines (keep
+    first occurrence), report per-doc line counts and the md5 of the
+    reconstructed text — a full byte-level differential of the
+    transform (the md5 matches only if the kept-line SET, ORDER and
+    JOINING are all identical)."""
+    from dqmtools_spark.functions.textstats import dedup_repeated_lines, lines
+
+    d = _t(spark, sf, "documents")
+    deduped = dedup_repeated_lines(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(lines(F.col("text"))).cast("long").alias("n_lines"),
+        F.size(lines(deduped)).cast("long").alias("n_kept"),
+        F.md5(deduped).alias("dedup_md5"),
+    )
+
+
 def q_spectral_peak(spark, sf):
     """F9 spectral analysis: vectorized FFT power spectrum (Arrow-batch
     2-D rfft) over a synthesized two-tone signal, peak extracted with
@@ -866,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "spectral_peak": q_spectral_peak,
+        "doc_line_dedup": q_doc_line_dedup,
         "pipeline_full": q_pipeline_full,
         "pipeline_staged_agg": q_pipeline_staged_agg,
     }
@@ -887,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": oracles.ann_topk_sql(planes, k=10),
         "ivf_topk": oracles.ivf_topk_sql(n_centroids=8, n_probe=3, k=10),
         "spectral_peak": oracles.spectral_peak_sql(n=32, max_freq=14),
+        "doc_line_dedup": oracles.doc_line_dedup_sql(),
         "pipeline_full": oracles.pipeline_result_sql(),
         "pipeline_staged_agg": oracles.pipeline_keep_agg_sql(),
         "pricing_summary": """

@@ -159,3 +159,15 @@ def bullet_line_fraction(text: Column) -> Column:
 def has_curly_brace(text: Column) -> Column:
     """C4 signal: '{' almost always means leaked code/templating."""
     return F.contains(text, F.lit("{"))
+
+
+def dedup_repeated_lines(text: Column) -> Column:
+    """Gopher-style intra-document boilerplate REMOVAL (the transform
+    companion of :func:`repeated_line_fraction`'s signal): keep the
+    FIRST occurrence of every exact line, preserving order, and
+    reassemble with newlines.  Pure array expressions — per-row, no
+    shuffle, engine-portable (DuckDB: indexed LIST_FILTER +
+    LIST_POSITION, both 1-based like Spark's array_position)."""
+    ls = lines(text)
+    kept = F.filter(ls, lambda x, i: F.array_position(ls, x) == i + 1)
+    return F.array_join(kept, "\n")

@@ -285,6 +285,25 @@ def spectral_peak_sql(n: int = 32, max_freq: int = 14) -> str:
     """
 
 
+def doc_line_dedup_sql() -> str:
+    """Oracle for intra-document repeated-line removal: DuckDB's
+    indexed LIST_FILTER + LIST_POSITION are 1-based like Spark's
+    array_position, so "keep first occurrence of each exact line"
+    is the same expression in both engines; md5 of the reassembled
+    text is the byte-level differential."""
+    kept = (
+        "LIST_FILTER(STRING_SPLIT(text, CHR(10)), "
+        "(x, i) -> LIST_POSITION(STRING_SPLIT(text, CHR(10)), x) = i)"
+    )
+    return f"""
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT(text, CHR(10))) AS BIGINT) AS n_lines,
+               CAST(LEN({kept}) AS BIGINT) AS n_kept,
+               MD5(ARRAY_TO_STRING({kept}, CHR(10))) AS dedup_md5
+        FROM documents
+    """
+
+
 # ----------------------------------------------------- quality pipeline
 
 

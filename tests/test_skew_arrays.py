@@ -318,3 +318,27 @@ def test_connected_components_transitive_closure(spark):
     pairs2 = spark.createDataFrame([(2, 3), (1, 2)], "id_a long, id_b long")
     docs2 = spark.createDataFrame([(1,), (2,), (3,)], "id long")
     assert {r["id"] for r in drop_duplicate_clusters(docs2, pairs2, "id").collect()} == {1}
+
+
+# ------------------------------------------- intra-doc line dedup
+
+
+def test_dedup_repeated_lines_semantics(spark):
+    from dqmtools_spark.functions.textstats import dedup_repeated_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "nav bar\nreal content\nnav bar\nfooter\nreal content"),
+            (2, "only one line"),
+            (3, ""),
+            (4, "a\n\na\n\nb"),        # repeated empty lines collapse too
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["out"] for r in
+           df.select("doc_id", dedup_repeated_lines(F.col("text")).alias("out"))
+           .collect()}
+    assert got[1] == "nav bar\nreal content\nfooter"
+    assert got[2] == "only one line"
+    assert got[3] == ""
+    assert got[4] == "a\n\nb"
