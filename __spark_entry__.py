@@ -763,6 +763,35 @@ def q_doc_line_dedup(spark, sf):
     )
 
 
+def q_token_shards(spark, sf):
+    """Training-shard packing: deterministic greedy ~2000-token shards
+    over doc_id order; per-shard packing report."""
+    from dqmtools_spark.functions.textstats import token_count_bpe_ish
+    from dqmtools_spark.operators.sharding import assign_token_shards, shard_summary
+
+    d = _t(spark, sf, "documents")
+    sharded = assign_token_shards(
+        d, token_count_bpe_ish(F.col("text")), ["doc_id"], budget=2000
+    )
+    return shard_summary(sharded)
+
+
+def q_contamination(spark, sf):
+    """Benchmark decontamination: corpus docs sharing an 8-word-gram
+    with the 'eval set' (doc_id < 20), with distinct-gram counts —
+    broadcast semi-join plan, md5-family hashes (full oracle)."""
+    from dqmtools_spark.operators.decontam import contamination_flags
+
+    d = _t(spark, sf, "documents")
+    return contamination_flags(
+        d.filter(F.col("doc_id") >= 20),
+        d.filter(F.col("doc_id") < 20),
+        "text",
+        "doc_id",
+        n=8,
+    )
+
+
 def q_spectral_peak(spark, sf):
     """F9 spectral analysis: vectorized FFT power spectrum (Arrow-batch
     2-D rfft) over a synthesized two-tone signal, peak extracted with
@@ -885,6 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "spectral_peak": q_spectral_peak,
         "doc_line_dedup": q_doc_line_dedup,
+        "token_shards": q_token_shards,
+        "contamination": q_contamination,
         "pipeline_full": q_pipeline_full,
         "pipeline_staged_agg": q_pipeline_staged_agg,
     }
@@ -907,6 +938,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": oracles.ivf_topk_sql(n_centroids=8, n_probe=3, k=10),
         "spectral_peak": oracles.spectral_peak_sql(n=32, max_freq=14),
         "doc_line_dedup": oracles.doc_line_dedup_sql(),
+        "token_shards": oracles.token_shards_sql(budget=2000),
+        "contamination": oracles.contamination_sql(n=8, eval_max_id=20),
         "pipeline_full": oracles.pipeline_result_sql(),
         "pipeline_staged_agg": oracles.pipeline_keep_agg_sql(),
         "pricing_summary": """

@@ -1,0 +1,63 @@
+"""Training-shard assignment: pack documents into ~equal-token shards.
+
+A training-data pipeline's last step before tokenization is usually
+"write shards of ~N tokens each".  The deterministic greedy packing —
+walk the corpus in a stable order, cut a new shard every ``budget``
+tokens — is a running-sum window:
+
+    shard(doc) = floor((cumsum(tokens) - tokens) / budget)
+
+i.e. the shard the document's FIRST token lands in.  Deterministic,
+reproducible across runs and cluster sizes, and exactly expressible in
+any engine (integer window sum + one exact division).
+
+Scale note: a single global ``ORDER BY`` window is a total sort — fine
+for the report-sized query below, but at 10^12 docs you shard
+hierarchically: partition by a hash prefix first, run this window per
+partition with a per-partition budget, and concatenate shard id spaces
+(``shard = partition * shards_per_partition + local``).  The operator
+takes an optional ``partition_cols`` for exactly that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_token_shards(
+    df: DataFrame,
+    token_count: Column,
+    order_cols: list[str],
+    budget: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Attach ``tokens`` and ``shard`` columns.
+
+    ``shard`` = floor(exclusive-running-sum / budget) over
+    ``order_cols`` (within ``partition_cols`` if given — the
+    hierarchical 100 TB form).
+    """
+    w = Window.orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    if partition_cols:
+        w = (
+            Window.partitionBy(*partition_cols)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    tokens = token_count.cast("long")
+    cum = F.sum(tokens).over(w)
+    shard = F.floor((cum - tokens) / F.lit(float(budget))).cast("long")
+    return df.withColumn("tokens", tokens).withColumn("shard", shard)
+
+
+def shard_summary(sharded: DataFrame) -> DataFrame:
+    """Per-shard packing report: doc count, token total, bounds."""
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("total_tokens"),
+        F.min("tokens").alias("min_doc_tokens"),
+        F.max("tokens").alias("max_doc_tokens"),
+    )

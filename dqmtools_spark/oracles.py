@@ -304,6 +304,57 @@ def doc_line_dedup_sql() -> str:
     """
 
 
+def token_shards_sql(budget: int) -> str:
+    """Oracle for greedy token-budget sharding: exclusive running sum
+    over doc_id order, shard = floor(cum_before / budget) — integer
+    window math plus one exact division (< 2^53), identical in both
+    engines."""
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, tokens,
+                   SUM(tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM t
+        )
+        SELECT CAST(FLOOR((cum - tokens) / {float(budget)}) AS BIGINT) AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+               CAST(MIN(tokens) AS BIGINT) AS min_doc_tokens,
+               CAST(MAX(tokens) AS BIGINT) AS max_doc_tokens
+        FROM c
+        GROUP BY 1
+    """
+
+
+def contamination_sql(n: int, eval_max_id: int) -> str:
+    """Oracle for n-gram benchmark decontamination: same word shingles
+    and md5/mod-p hashes as the Spark operator; distinct-gram hit
+    counts per contaminated corpus doc."""
+    grams = (
+        "LIST_DISTINCT(LIST_TRANSFORM("
+        "LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST("
+        f"LEN(REGEXP_EXTRACT_ALL(TRIM(text), '\\S+')) - {n - 1}, 1)), "
+        f"i -> ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(TRIM(text), '\\S+')[i:i + {n - 1}], ' ')), "
+        f"s -> {_md5h('s')} % {P31}))"
+    )
+    return f"""
+        WITH g AS (
+            SELECT doc_id, {grams} AS g
+            FROM documents WHERE text IS NOT NULL
+        ),
+        e AS (SELECT DISTINCT UNNEST(g) AS h FROM g WHERE doc_id < {eval_max_id}),
+        c AS (SELECT doc_id, UNNEST(g) AS h FROM g WHERE doc_id >= {eval_max_id})
+        SELECT c.doc_id, COUNT(DISTINCT c.h) AS n_contaminated_grams
+        FROM c JOIN e ON c.h = e.h
+        GROUP BY c.doc_id
+    """
+
+
 # ----------------------------------------------------- quality pipeline
 
 

@@ -342,3 +342,55 @@ def test_dedup_repeated_lines_semantics(spark):
     assert got[2] == "only one line"
     assert got[3] == ""
     assert got[4] == "a\n\nb"
+
+
+# ---------------------------------------- sharding + decontamination
+
+
+def test_token_sharding_invariants(spark, sf_dir):
+    from dqmtools_spark.functions.textstats import token_count_bpe_ish
+    from dqmtools_spark.operators.sharding import assign_token_shards
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sharded = assign_token_shards(
+        d, token_count_bpe_ish(F.col("text")), ["doc_id"], budget=2000
+    ).select("doc_id", "tokens", "shard").collect()
+    by_doc = sorted(sharded, key=lambda r: r["doc_id"])
+    # greedy law: shard = floor(exclusive-cumsum / budget), docs in
+    # doc_id order never decrease shard, shard ids contiguous from 0
+    cum = 0
+    seen = set()
+    for r in by_doc:
+        assert r["shard"] == cum // 2000
+        cum += r["tokens"]
+        seen.add(r["shard"])
+    assert seen == set(range(max(seen) + 1))
+
+
+def test_contamination_plants_are_flagged(spark):
+    from dqmtools_spark.operators.decontam import (
+        contamination_flags,
+        drop_contaminated,
+    )
+
+    bench = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, f"prefix text then {bench} and a suffix here"),    # contaminated
+        (2, "totally unrelated content about spark shuffles and parquet"),
+        (3, bench),                                            # exact copy
+        (4, "quick brown fox jumps over the lazy dog"),        # only 9 words, no 10-gram? n=8 catches it
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_set = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+
+    flags = {r["doc_id"]: r["n_contaminated_grams"]
+             for r in contamination_flags(corpus, eval_set, "text", "doc_id",
+                                          n=8).collect()}
+    assert 1 in flags and 3 in flags
+    assert 2 not in flags
+    assert 4 in flags            # shares the 8-gram "quick ... dog"
+
+    kept = {r["doc_id"]
+            for r in drop_contaminated(corpus, eval_set, "text", "doc_id",
+                                       n=8).collect()}
+    assert kept == {2}
