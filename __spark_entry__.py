@@ -758,7 +758,8 @@ def q_doc_line_dedup(spark, sf):
     return d.select(
         "doc_id",
         F.size(lines(F.col("text"))).cast("long").alias("n_lines"),
-        F.size(lines(deduped)).cast("long").alias("n_kept"),
+        # keep-first retains exactly one element per distinct line
+        F.size(F.array_distinct(lines(F.col("text")))).cast("long").alias("n_kept"),
         F.md5(deduped).alias("dedup_md5"),
     )
 

@@ -165,9 +165,12 @@ def dedup_repeated_lines(text: Column) -> Column:
     """Gopher-style intra-document boilerplate REMOVAL (the transform
     companion of :func:`repeated_line_fraction`'s signal): keep the
     FIRST occurrence of every exact line, preserving order, and
-    reassemble with newlines.  Pure array expressions — per-row, no
-    shuffle, engine-portable (DuckDB: indexed LIST_FILTER +
-    LIST_POSITION, both 1-based like Spark's array_position)."""
-    ls = lines(text)
-    kept = F.filter(ls, lambda x, i: F.array_position(ls, x) == i + 1)
-    return F.array_join(kept, "\n")
+    reassemble with newlines.  Per-row, no shuffle.
+
+    ``array_distinct`` is O(L) per doc and keep-first-order in Spark
+    (pinned by test_dedup_lines_distinct_is_keep_first against the
+    positional-filter reference form, which is O(L^2) — quadratic in
+    lines would bite on 10k-line boilerplate pages at corpus scale);
+    the DuckDB oracle uses the positional form because LIST_DISTINCT
+    does not guarantee order there."""
+    return F.array_join(F.array_distinct(lines(text)), "\n")

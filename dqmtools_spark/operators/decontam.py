@@ -22,15 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dqmtools_spark.functions.hashing import P31, md5_hash60
+from dqmtools_spark.operators.dedup import portable_shingle_hashes
 
 
 def _gram_hashes(text_col, n: int):
-    from dqmtools_spark.operators.dedup import word_shingles
-
-    return F.array_distinct(
-        F.transform(word_shingles(text_col, n), lambda s: md5_hash60(s) % P31)
-    )
+    # strict: a doc with fewer than n words shares NO n-gram with
+    # anything — the short-doc fallback gram (or the '' gram of an
+    # empty doc) must never count as benchmark overlap
+    return portable_shingle_hashes(text_col, n, strict=True)
 
 
 def contamination_flags(

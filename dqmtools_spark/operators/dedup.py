@@ -44,16 +44,31 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ------------------------------------------------------------- shingles
 
 
-def word_shingles(text: F.Column, n: int = 3) -> F.Column:
-    """Distinct word n-grams (array<string>); docs shorter than n words
-    fall back to their full token set so they still participate.
-    NULL text -> NULL (not the empty-string shingle set — a null doc
-    must never pair, matching the hashed-shingle tier's contract)."""
-    words = F.split(F.trim(text), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+def word_shingles(text: F.Column, n: int = 3, strict: bool = False) -> F.Column:
+    """Distinct word n-grams (array<string>).
+
+    Tokens are the \\S+ runs — empty strings from leading/trailing
+    whitespace of ANY kind are dropped (``trim`` alone strips only
+    spaces, so a newline-terminated doc would otherwise grow a phantom
+    '' token and a bogus trailing-space gram that no SQL oracle
+    reproduces).  ``strict=False``: docs shorter than n words fall back
+    to their full token window so they still participate in
+    similarity-style consumers.  ``strict=True``: such docs yield NO
+    grams — the right contract for n-gram OVERLAP semantics
+    (decontamination), where "shares an n-gram" must mean n real words.
+    NULL text -> NULL (a null doc must never pair)."""
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    hi = (
+        F.size(words) - (n - 1)
+        if strict
+        else F.greatest(F.size(words) - (n - 1), F.lit(1))
     )
+    # sequence(1, 0) DESCENDS in Spark — an empty index list needs an
+    # explicit guard for the strict short-doc case
+    idx = F.when(hi >= 1, F.sequence(F.lit(1), hi)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
     return F.when(text.isNotNull(), F.array_distinct(grams))
 
 
@@ -78,6 +93,19 @@ def word_shingle_hashes(text: F.Column, n: int = 3) -> F.Column:
         acc = F.zip_with(acc, shifted, lambda h, w: F.xxhash64(h, w))
     grams = F.slice(acc, 1, F.greatest(sz - (n - 1), F.lit(1)))
     return F.array_distinct(grams)
+
+
+def portable_shingle_hashes(text: F.Column, n: int, strict: bool = False) -> F.Column:
+    """Engine-portable hashed word n-grams: md5_hash60(shingle) mod p
+    (array<long>) — the ONE definition of the oracle-checkable shingle
+    hash family, shared by the md5 MinHash tier and decontamination."""
+    from dqmtools_spark.functions.hashing import P31, md5_hash60
+
+    return F.array_distinct(
+        F.transform(
+            word_shingles(text, n, strict=strict), lambda s: md5_hash60(s) % P31
+        )
+    )
 
 
 def jaccard(a: F.Column, b: F.Column) -> F.Column:
@@ -326,14 +354,10 @@ def minhash_lsh_pairs_md5(
     """
     from pyspark import StorageLevel
 
-    from dqmtools_spark.functions.hashing import P31, md5_hash60, universal_hash_consts
+    from dqmtools_spark.functions.hashing import P31, universal_hash_consts
 
     consts = universal_hash_consts(num_hashes)
-    sh = F.array_distinct(
-        F.transform(
-            word_shingles(F.col(text_col), n), lambda s: md5_hash60(s) % P31
-        )
-    )
+    sh = portable_shingle_hashes(F.col(text_col), n)
     base = df.select(F.col(id_col).alias("_id"), sh.alias("_sh")).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -38,24 +38,28 @@ def assign_token_shards(
     ``order_cols`` (within ``partition_cols`` if given — the
     hierarchical 100 TB form).
     """
-    w = Window.orderBy(*order_cols).rowsBetween(
+    base = (
+        Window.partitionBy(*partition_cols) if partition_cols else Window
+    )
+    w = base.orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    if partition_cols:
-        w = (
-            Window.partitionBy(*partition_cols)
-            .orderBy(*order_cols)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
     tokens = token_count.cast("long")
     cum = F.sum(tokens).over(w)
     shard = F.floor((cum - tokens) / F.lit(float(budget))).cast("long")
     return df.withColumn("tokens", tokens).withColumn("shard", shard)
 
 
-def shard_summary(sharded: DataFrame) -> DataFrame:
-    """Per-shard packing report: doc count, token total, bounds."""
-    return sharded.groupBy("shard").agg(
+def shard_summary(
+    sharded: DataFrame, partition_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-shard packing report: doc count, token total, bounds.
+
+    In hierarchical mode pass the SAME ``partition_cols`` as
+    :func:`assign_token_shards` — shard ids restart at 0 per partition,
+    so grouping by ``shard`` alone would merge unrelated shards."""
+    keys = [*(partition_cols or []), "shard"]
+    return sharded.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tokens").alias("total_tokens"),
         F.min("tokens").alias("min_doc_tokens"),

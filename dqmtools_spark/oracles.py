@@ -335,10 +335,13 @@ def contamination_sql(n: int, eval_max_id: int) -> str:
     """Oracle for n-gram benchmark decontamination: same word shingles
     and md5/mod-p hashes as the Spark operator; distinct-gram hit
     counts per contaminated corpus doc."""
+    # STRICT n-grams: a doc with < n words emits no grams (DuckDB
+    # generate_series(1, <=0) is the empty list) — matches the Spark
+    # operator's strict=True contract
     grams = (
         "LIST_DISTINCT(LIST_TRANSFORM("
-        "LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST("
-        f"LEN(REGEXP_EXTRACT_ALL(TRIM(text), '\\S+')) - {n - 1}, 1)), "
+        "LIST_TRANSFORM(GENERATE_SERIES(1, "
+        f"LEN(REGEXP_EXTRACT_ALL(TRIM(text), '\\S+')) - {n - 1}), "
         f"i -> ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(TRIM(text), '\\S+')[i:i + {n - 1}], ' ')), "
         f"s -> {_md5h('s')} % {P31}))"
     )

@@ -112,7 +112,9 @@ def test_extract_text_identity_on_driver_corpus():
 
     from dqmtools_spark.functions.textproc import extract_text
 
-    dirs = sorted(glob.glob("/root/testdata/sf*"))
+    # always cover the directory the oracle gate actually runs on,
+    # plus every local sf tier
+    dirs = sorted({SF_DIR, *glob.glob("/root/testdata/sf*")})
     assert dirs, "no testdata directories found"
     for d in dirs:
         rows = duckdb.sql(f"SELECT text FROM '{d}/documents.parquet'").fetchall()

@@ -344,6 +344,30 @@ def test_dedup_repeated_lines_semantics(spark):
     assert got[4] == "a\n\nb"
 
 
+def test_dedup_lines_distinct_is_keep_first(spark):
+    """Pins the O(L) array_distinct form against the O(L^2) positional
+    reference (keep element iff its first occurrence is at its own
+    index) on randomized line arrays — the order property the fast
+    path and the DuckDB oracle both depend on."""
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(200):
+        lns = [f"line{rng.randrange(6)}" for _ in range(rng.randrange(0, 12))]
+        rows.append((i, "\n".join(lns)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ls = F.split(F.col("text"), r"\n")
+    fast = F.array_join(F.array_distinct(ls), "\n")
+    ref = F.array_join(
+        F.filter(ls, lambda x, i: F.array_position(ls, x) == i + 1), "\n"
+    )
+    bad = df.select(fast.alias("a"), ref.alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    assert bad.count() == 0
+
+
 # ---------------------------------------- sharding + decontamination
 
 
@@ -378,7 +402,7 @@ def test_contamination_plants_are_flagged(spark):
         (1, f"prefix text then {bench} and a suffix here"),    # contaminated
         (2, "totally unrelated content about spark shuffles and parquet"),
         (3, bench),                                            # exact copy
-        (4, "quick brown fox jumps over the lazy dog"),        # only 9 words, no 10-gram? n=8 catches it
+        (4, "quick brown fox jumps over the lazy dog"),        # exactly one 8-gram of the benchmark string
     ]
     corpus = spark.createDataFrame(rows, "doc_id long, text string")
     eval_set = spark.createDataFrame([(100, bench)], "doc_id long, text string")
