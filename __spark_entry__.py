@@ -793,6 +793,22 @@ def q_contamination(spark, sf):
     )
 
 
+def q_doc_top_bigram(spark, sf):
+    """Gopher repetition signal: per-document most-common word bigram
+    and the character fraction it covers, aggregated per source (avg
+    is exact: ratio-of-exact-doubles rounded at the end)."""
+    from dqmtools_spark.operators.repetition import top_ngram_stats
+
+    d = _t(spark, sf, "documents")
+    per_doc = top_ngram_stats(d, "text", "doc_id", n=2)
+    joined = per_doc.join(d.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("char_fraction"), 4).alias("avg_top_bigram_fraction"),
+        F.max("top_count").alias("max_top_count"),
+    )
+
+
 def q_spectral_peak(spark, sf):
     """F9 spectral analysis: vectorized FFT power spectrum (Arrow-batch
     2-D rfft) over a synthesized two-tone signal, peak extracted with
@@ -917,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": q_doc_line_dedup,
         "token_shards": q_token_shards,
         "contamination": q_contamination,
+        "doc_top_bigram": q_doc_top_bigram,
         "pipeline_full": q_pipeline_full,
         "pipeline_staged_agg": q_pipeline_staged_agg,
     }
@@ -941,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_line_dedup": oracles.doc_line_dedup_sql(),
         "token_shards": oracles.token_shards_sql(budget=2000),
         "contamination": oracles.contamination_sql(n=8, eval_max_id=20),
+        "doc_top_bigram": oracles.doc_top_bigram_sql(),
         "pipeline_full": oracles.pipeline_result_sql(),
         "pipeline_staged_agg": oracles.pipeline_keep_agg_sql(),
         "pricing_summary": """

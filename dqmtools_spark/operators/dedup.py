@@ -44,8 +44,11 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ------------------------------------------------------------- shingles
 
 
-def word_shingles(text: F.Column, n: int = 3, strict: bool = False) -> F.Column:
-    """Distinct word n-grams (array<string>).
+def word_shingles(
+    text: F.Column, n: int = 3, strict: bool = False, distinct: bool = True
+) -> F.Column:
+    """Word n-grams (array<string>; ``distinct=False`` keeps every
+    occurrence — repetition-counting consumers need multiplicity).
 
     Tokens are the \\S+ runs — empty strings from leading/trailing
     whitespace of ANY kind are dropped (``trim`` alone strips only
@@ -69,7 +72,9 @@ def word_shingles(text: F.Column, n: int = 3, strict: bool = False) -> F.Column:
         F.array().cast("array<int>")
     )
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-    return F.when(text.isNotNull(), F.array_distinct(grams))
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(text.isNotNull(), grams)
 
 
 def word_shingle_hashes(text: F.Column, n: int = 3) -> F.Column:

@@ -1,0 +1,58 @@
+"""Gopher repetition signals that need cross-row machinery: the
+"fraction of characters in the most common word n-gram" family.
+
+``repeated_line_fraction`` / ``dedup_repeated_lines`` (textstats) cover
+line-level boilerplate per-row; the n-gram repetition signal needs a
+per-document modal gram, which scales as explode -> hash-aggregate ->
+per-doc argmax (two shuffles keyed by doc id, both map-side
+combinable) instead of a quadratic per-row HOF.
+
+Semantics (Gopher-style): for each document, find the most frequent
+word n-gram (multiplicity counted, ties -> lexicographically smallest
+gram) and report count * length(gram) / length(text) — the fraction of
+the document the repeated gram "covers" (overlaps can push it past 1.0
+on degenerate inputs, same as the published heuristic; it is a
+filtering signal, not a measure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dqmtools_spark.operators.dedup import word_shingles
+
+
+def top_ngram_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """(id, top_gram, top_count, char_fraction) per document.
+
+    Empty documents report fraction 0.0; documents shorter than n words
+    use their full token window as the single gram (word_shingles
+    fallback), so every document appears exactly once in the output.
+    """
+    grams = word_shingles(F.col(text_col), n, distinct=False)
+    ex = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("_nch"),
+        F.explode(grams).alias("_g"),
+    )
+    counts = ex.groupBy(id_col, "_nch", "_g").agg(
+        F.count(F.lit(1)).alias("top_count")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("top_count"), F.asc("_g")
+    )
+    top = counts.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") == 1
+    )
+    frac = F.when(F.col("_nch") == 0, F.lit(0.0)).otherwise(
+        (F.col("top_count") * F.length("_g")).cast("double") / F.col("_nch")
+    )
+    return top.select(
+        F.col(id_col),
+        F.col("_g").alias("top_gram"),
+        F.col("top_count"),
+        frac.alias("char_fraction"),
+    )

@@ -358,6 +358,49 @@ def contamination_sql(n: int, eval_max_id: int) -> str:
     """
 
 
+def doc_top_bigram_sql() -> str:
+    """Oracle for the Gopher top-bigram repetition signal: non-distinct
+    word bigrams (multiplicity counted), per-doc argmax with
+    (count desc, gram asc) ties, char fraction = count*len(gram)/len(text)
+    (exact division), averaged per source (rounded — avg over ~100
+    doubles carries summation-order noise)."""
+    w = "REGEXP_EXTRACT_ALL(TRIM(text), '\\S+')"
+    grams = (
+        f"LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN({w}) - 1, 1)), "
+        f"i -> ARRAY_TO_STRING({w}[i:i + 1], ' '))"
+    )
+    return f"""
+        WITH ex AS (
+            SELECT doc_id, source, LENGTH(text) AS nch, UNNEST({grams}) AS g
+            FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, source, nch, g, COUNT(*) AS top_count
+            FROM ex GROUP BY doc_id, source, nch, g
+        ),
+        top AS (
+            SELECT doc_id, source, nch, g, top_count
+            FROM counts
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY top_count DESC, g ASC) = 1
+        ),
+        per_doc AS (
+            SELECT source,
+                   CASE WHEN nch = 0 THEN 0.0
+                        ELSE CAST(top_count * LENGTH(g) AS DOUBLE) / nch
+                   END AS char_fraction,
+                   top_count
+            FROM top
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(char_fraction), 4) AS avg_top_bigram_fraction,
+               CAST(MAX(top_count) AS BIGINT) AS max_top_count
+        FROM per_doc
+        GROUP BY source
+    """
+
+
 # ----------------------------------------------------- quality pipeline
 
 

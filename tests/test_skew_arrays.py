@@ -418,3 +418,31 @@ def test_contamination_plants_are_flagged(spark):
             for r in drop_contaminated(corpus, eval_set, "text", "doc_id",
                                        n=8).collect()}
     assert kept == {2}
+
+
+def test_top_ngram_stats_semantics(spark):
+    from dqmtools_spark.operators.repetition import top_ngram_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now limited offer"),
+            (2, "every word here is completely unique today"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           top_ngram_stats(df, "text", "doc_id", n=2).collect()}
+    # "buy now" occurs 3x as a bigram ("now buy" only 2x)
+    assert got[1]["top_gram"] == "buy now" and got[1]["top_count"] == 3
+    assert got[1]["char_fraction"] == 3 * len("buy now") / len(
+        "buy now buy now buy now limited offer"
+    )
+    # all-unique doc: every bigram count 1, tie -> lexicographically first
+    assert got[2]["top_count"] == 1
+    assert got[2]["top_gram"] == min(
+        f"{a} {b}" for a, b in zip(
+            "every word here is completely unique today".split(),
+            "word here is completely unique today".split())
+    )
+    assert got[3]["char_fraction"] == 0.0
