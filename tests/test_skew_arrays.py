@@ -446,3 +446,40 @@ def test_top_ngram_stats_semantics(spark):
             "word here is completely unique today".split())
     )
     assert got[3]["char_fraction"] == 0.0
+
+
+def test_minhash_xxhash_tier_recall_and_precision(spark):
+    """The production (xxhash64) MinHash tier vs exact n-gram Jaccard
+    ground truth on a synthetic near-dup corpus: the verify step makes
+    precision exact; banding (8 bands x 4 rows) must catch
+    high-similarity pairs."""
+    from dqmtools_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    import random
+
+    rng = random.Random(21)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    did = 0
+    for _ in range(15):
+        base = [rng.choice(vocab) for _ in range(60)]
+        rows.append((did, " ".join(base))); did += 1
+        near = list(base)
+        near[rng.randrange(60)] = "MUT"        # ~0.9 shingle jaccard
+        rows.append((did, " ".join(near))); did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in minhash_lsh_pairs(df, "text", "doc_id",
+                                      threshold=0.8).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(df, "text", "doc_id",
+                                          threshold=0.8).collect()}
+    assert set(got) <= set(exact)                 # zero false positives
+    assert len(got) >= 0.9 * len(exact)           # banding recall at j~0.9
+    assert len(exact) >= 15                       # every planted pair is real
+    for k, v in got.items():
+        assert v == exact[k]                      # verify = exact jaccard
