@@ -90,39 +90,51 @@ class CheckpointedRun:
         # one exchange: cluster by bucket so each output partition is a
         # single task's atomic write
         work = work.repartition(max(len(pending), 1), "part_key")
-        # per-bucket counters ride the write itself as observation
-        # metrics — ONE job, ONE scan, nothing cached.  (The former
-        # cache() + groupBy pre-pass materialized the entire pending
-        # slice and scanned it twice; at 100 TB that is the difference
-        # between one pass and caching the corpus.)  Counter caveat
+        # run totals ride the write as observation metrics — the INPUT
+        # is still scanned exactly once.  Only a CONSTANT pair of
+        # aggregates is observed: the former per-bucket count_if pairs
+        # (2 x n_buckets expressions) were a codegen/driver-payload
+        # hazard at corpus-scale bucket counts (10^4+ buckets => 10^4+
+        # aggregate expressions in one projection).  Counter caveat
         # shared with accumulators: a re-executed task counts twice —
         # counters are lineage diagnostics, not the resume gate (the
         # gate is the anti-join + progress table).
         from pyspark.sql import Observation
 
         obs = Observation()
-        per_bucket_exprs = []
-        for b in pending:
-            per_bucket_exprs.append(
-                F.count_if(F.col("part_key") == b).alias(f"in_{b}")
-            )
-            per_bucket_exprs.append(
-                F.count_if((F.col("part_key") == b) & F.col("keep")).alias(
-                    f"out_{b}"
-                )
-            )
-        work = work.observe(obs, F.count(F.lit(1)).alias("total"), *per_bucket_exprs)
+        work = work.observe(
+            obs,
+            F.count(F.lit(1)).alias("total"),
+            F.count_if(F.col("keep")).alias("total_keep"),
+        )
         # the write runs even when the pending slice turns out empty
         # (an empty append writes no part files) — knowing total before
         # the action would cost the extra counting pass this rewrite
         # removed; one empty job per fully-resumed re-submit is cheaper
         write_table(work, self.results_path, partition_by=["part_key"])
-        counters = obs.get
-        total = int(counters["total"])
-        per_bucket = {
-            b: (int(counters[f"in_{b}"]), int(counters[f"out_{b}"]))
-            for b in pending
-        }
+        total = int(obs.get["total"])
+        # per-bucket counters come from the WRITTEN partitions: one
+        # partition-pruned codegen scan of only the pending buckets'
+        # files (never the whole table).  Bonus over the observation
+        # form: after a mid-bucket kill the resumed run's counters now
+        # reflect the bucket's COMPLETE contents (pre-kill rows + the
+        # resumed delta), not just the delta this attempt appended.
+        per_bucket: dict[int, tuple[int, int]] = {}
+        if table_exists(self.spark, self.results_path):
+            stat_rows = (
+                read_table(self.spark, self.results_path)
+                .filter(F.col("part_key").isin(pending))
+                .groupBy("part_key")
+                .agg(
+                    F.count(F.lit(1)).alias("docs_in"),
+                    F.count_if(F.col("keep")).alias("docs_out"),
+                )
+                .collect()
+            )
+            per_bucket = {
+                int(r["part_key"]): (int(r["docs_in"]), int(r["docs_out"]))
+                for r in stat_rows
+            }
 
         # mark progress AFTER data is durable (write-ahead ordering:
         # a kill between the two writes re-runs the bucket; the

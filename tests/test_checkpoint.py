@@ -62,3 +62,44 @@ def test_progress_counters(spark, tmp_path, doc_results):
     prog = read_table(spark, ck.progress_path).toPandas()
     assert int(prog["docs_in"].sum()) == 200
     assert 0 < int(prog["docs_out"].sum()) <= 200
+
+
+def test_counters_complete_after_resume(spark, tmp_path, doc_results):
+    """Per-bucket counters are derived from the WRITTEN partitions, so
+    after a kill/resume they reflect each bucket's complete contents
+    (pre-kill rows + resumed delta), not just this attempt's delta."""
+    from pyspark.sql import functions as F
+
+    from dqmtools_spark.sources.tables import write_table
+
+    ck = CheckpointedRun(spark, str(tmp_path / "out"))
+    partial = doc_results.filter(F.col("part_key") < 4)
+    write_table(partial, ck.results_path, partition_by=["part_key"])
+    ck.run(doc_results, N_BUCKETS)
+    prog = read_table(spark, ck.progress_path).toPandas()
+    assert int(prog["docs_in"].sum()) == 200, "resumed counters must be complete"
+
+
+def test_wide_bucket_count_constant_observe_width(spark, tmp_path):
+    """n_buckets=4096: the run must not build O(n_buckets) observation
+    expressions (the r2 form put 2 x 4096 count_if aggregates into one
+    projection — a codegen hazard).  The input is still scanned once;
+    per-bucket counters come from a partition-pruned scan of the
+    written files."""
+    from dqmtools_spark.pipeline import run_pipeline
+    from dqmtools_spark.synth import synth_pages
+
+    wide = 4096
+    pages = synth_pages(spark, 150, seed=13)
+    res, _ = run_pipeline(spark, pages, n_buckets=wide)
+    ck = CheckpointedRun(spark, str(tmp_path / "wide"))
+    summary = ck.run(res.cache(), wide)
+    assert summary["docs_written"] == 150
+    assert summary["buckets_done"] == wide
+    table = read_table(spark, ck.results_path)
+    assert table.count() == 150
+    prog = read_table(spark, ck.progress_path).toPandas()
+    assert len(prog) == wide
+    assert int(prog["docs_in"].sum()) == 150
+    again = ck.run(res, wide)
+    assert again["skipped"]
