@@ -692,7 +692,7 @@ def q_minhash_pairs(spark, sf):
     from dqmtools_spark.operators.dedup import minhash_lsh_pairs_md5
 
     d = _t(spark, sf, "documents")
-    return minhash_lsh_pairs_md5(d, "text", "doc_id", n=3, threshold=0.5)
+    return minhash_lsh_pairs_md5(d, "text", "doc_id", n=3, threshold=0.5, eager=True)
 
 
 def q_simhash_pairs(spark, sf):
@@ -704,7 +704,8 @@ def q_simhash_pairs(spark, sf):
 
     d = _t(spark, sf, "documents")
     return simhash_pairs(
-        d, "text", "doc_id", max_hamming=6, n_bits=60, token_hash=md5_hash60
+        d, "text", "doc_id", max_hamming=6, n_bits=60, token_hash=md5_hash60,
+        eager=True,
     )
 
 

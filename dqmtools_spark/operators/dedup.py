@@ -215,6 +215,23 @@ def minhash_signatures(
     )
 
 
+def _finish_eager(out: DataFrame, helpers: list[DataFrame]) -> DataFrame:
+    """Cache-hygiene epilogue for the LSH pair functions: materialize
+    the (small) pair result into its own cache, then unpersist every
+    intermediate helper frame (shingle/signature tables, O(docs)-sized)
+    so repeated dedup passes in a long-lived session do not accumulate
+    pinned blocks.  The caller owns the returned frame's cache —
+    ``out.unpersist()`` when done leaves the session cache empty
+    (asserted by ``tests/test_cache_hygiene.py``)."""
+    from pyspark import StorageLevel
+
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    for h in helpers:
+        h.unpersist()
+    return out
+
+
 def _lsh_band_verify(
     base: DataFrame,
     sigs: DataFrame,
@@ -228,19 +245,15 @@ def _lsh_band_verify(
 
     ``base`` = (_id, _sh) shingle table (persisted by the caller —
     verify reads it twice); ``sigs`` = (_id, _sig) with null signatures
-    already filtered.  ``hash_buckets=True`` joins on
+    already filtered, persisted by the caller (both sides of the banded
+    self-join read it — without a persist the minhash aggregate runs
+    twice).  ``hash_buckets=True`` joins on
     ``xxhash64(slice)`` (compact shuffle key, Spark-only);
     ``False`` joins on the raw slice (array equi-join — exactly "some
     band agrees", reproducible in oracle SQL).  Both are equi-joins:
     never cartesian, AQE splits hot buckets.
     """
-    from pyspark import StorageLevel
-
     rows_per_band = num_hashes // bands
-    # both sides of the self-join read the signature table; persist so
-    # the minhash aggregate runs once (O(docs x num_hashes x 8B) cache;
-    # long-lived sessions may spark.catalog.clearCache() between runs)
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
     def bucket(b: int) -> F.Column:
         sl = F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
@@ -297,6 +310,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     persist_shingles: bool = True,
+    eager: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
@@ -306,6 +320,15 @@ def minhash_lsh_pairs(
     Null signatures (null/empty shingle set) are dropped BEFORE banding
     — a null slice would hash to a constant bucket and pair every
     degenerate doc with every other.
+
+    PERSISTS the shingle table (unless ``persist_shingles=False``) and
+    the signature table (O(docs)-sized) for the duration of the
+    returned frame's computation.  ``eager=True`` materializes the
+    (small) pair result into its own cache and unpersists both helpers
+    before returning — the hygienic form for long-lived sessions; the
+    caller unpersists the result when done.  ``eager=False`` leaves the
+    helpers pinned until ``spark.catalog.clearCache()`` (lazy plan
+    shape, used by plan audits).
     """
     from pyspark import StorageLevel
 
@@ -313,17 +336,21 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"),
         word_shingle_hashes(F.col(text_col), n).alias("_sh"),
     )
+    helpers = []
     if persist_shingles:
         # the shingle table feeds three consumers (signatures + both
         # sides of the verify join); persisting trades memory/disk for
         # 2 recomputes of the shingling pass over the corpus
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        helpers.append(base)
     sigs = minhash_signatures(base, "_id", "_sh", num_hashes).filter(
         F.col("_sig").isNotNull()
-    )
-    return _lsh_band_verify(
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    helpers.append(sigs)
+    out = _lsh_band_verify(
         base, sigs, num_hashes, bands, threshold, hash_buckets=True
     )
+    return _finish_eager(out, helpers) if eager else out
 
 
 def minhash_lsh_pairs_md5(
@@ -334,6 +361,7 @@ def minhash_lsh_pairs_md5(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    eager: bool = False,
 ) -> DataFrame:
     """Oracle-checkable MinHash LSH: identical banding/verify shape to
     :func:`minhash_lsh_pairs`, but every hash is engine-portable so a
@@ -356,6 +384,10 @@ def minhash_lsh_pairs_md5(
     equi-join, no all-pairs path).  ~2x more per-row hash cost than
     xxhash64 (md5) — the xxhash64 tier remains the default at scale;
     this tier is the verifiable one.
+
+    PERSISTS the shingle and signature tables; ``eager=True`` swaps
+    them for a cache of the (small) pair result before returning (see
+    :func:`minhash_lsh_pairs`).
     """
     from pyspark import StorageLevel
 
@@ -369,10 +401,11 @@ def minhash_lsh_pairs_md5(
     cw = lambda c, i: (F.lit(consts[i][0]) * c + F.lit(consts[i][1])) % P31  # noqa: E731
     sigs = minhash_signatures(base, "_id", "_sh", num_hashes, seed_hash=cw).filter(
         F.col("_sig").isNotNull()
-    )
-    return _lsh_band_verify(
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    out = _lsh_band_verify(
         base, sigs, num_hashes, bands, threshold, hash_buckets=False
     )
+    return _finish_eager(out, [base, sigs]) if eager else out
 
 
 def drop_near_duplicates(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
@@ -586,6 +619,7 @@ def simhash_pairs(
     n_bands: int | None = None,
     n_bits: int = 64,
     token_hash=None,
+    eager: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
@@ -616,7 +650,8 @@ def simhash_pairs(
     # the signature table feeds BOTH sides of the banded self-join;
     # without a persist the token-explode + n_bits-sum aggregate runs
     # twice.  The cached table is O(docs x 8B) — negligible at any
-    # scale next to recomputing the signature pass.
+    # scale next to recomputing the signature pass.  eager=True swaps
+    # it for a cache of the (small) pair result before returning.
     from pyspark import StorageLevel
 
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
@@ -655,13 +690,14 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return _finish_eager(out, [sig]) if eager else out
 
 
 # ------------------------------------------- embedding-cosine near-dup
