@@ -709,8 +709,10 @@ def embedding_cosine_pairs(
     id_col: str,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     seed: int = 42,
+    expected_rows: int | None = None,
+    target_bucket_rows: int = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
@@ -722,13 +724,27 @@ def embedding_cosine_pairs(
     cosine (JVM-side ``aggregate(zip_with(...))``) verifies every
     candidate — no false positives.
 
+    SCALE: intra-bucket comparison is quadratic in bucket occupancy, so
+    ``n_planes`` must grow with the corpus (log2) — pass
+    ``n_planes=None`` with ``expected_rows`` to derive it via
+    :func:`~dqmtools_spark.operators.similarity.n_planes_for_corpus`
+    (SCALE.md "Embedding LSH plane-count scaling").
+
     Semantics analog: the reference's near-identical-stream checks
     compare per-channel signatures rather than raw waveforms
     (SURVEY §2.3 A1-A5); here the signature is the LSH bucket.
     """
     from dqmtools_spark.operators.similarity import build_ann_index, cosine
 
-    indexed = build_ann_index(df, vec_col, dim, n_planes=n_planes, seed=seed).select(
+    indexed = build_ann_index(
+        df,
+        vec_col,
+        dim,
+        n_planes=n_planes,
+        seed=seed,
+        expected_rows=expected_rows,
+        target_bucket_rows=target_bucket_rows,
+    ).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
         "bucket",

