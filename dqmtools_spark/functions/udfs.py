@@ -93,12 +93,13 @@ _PROC_SCHEMA = T.StructType(_PROC_FIELDS)
 PROC_FIELD_NAMES = [f.name for f in _PROC_FIELDS]
 
 
-def _process_texts(texts: pd.Series) -> pd.DataFrame:
-    model, oov = _get_lm()
+def _process_texts(texts: pd.Series, lm=None, langid_fn=None) -> pd.DataFrame:
+    model, oov = lm if lm is not None else _get_lm()
+    predict = langid_fn if langid_fn is not None else textproc.predict_lang
     langs, ppls, scrubbed = [], [], []
     counters: dict[str, list[int]] = {k: [] for k in textproc.SCRUB_KINDS}
     for t in texts:
-        langs.append(textproc.predict_lang(t))
+        langs.append(predict(t))
         ppls.append(textproc.perplexity(t, model, oov))
         out, hits = textproc.scrub_text(t)
         scrubbed.append(out)
@@ -114,23 +115,45 @@ def _process_texts(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(data)
 
 
-@F.pandas_udf(_PROC_SCHEMA)
-def process_page_udf(html: pd.Series) -> pd.DataFrame:
-    """Fused hot path: html -> (text, langid, perplexity, scrub) in ONE
-    Arrow round-trip.  Chaining the individual UDFs instead would ship
-    the extracted text across the JVM<->Python boundary three extra
-    times; fusing them is the single biggest pipeline win (~25%).
-    Calls the same textproc functions as the individual UDFs, so the
-    byte-identical contract is unchanged."""
-    texts = html.map(textproc.extract_text)
-    return _process_texts(texts)
+def make_process_udfs(lm=None, langid_fn=None):
+    """THE model swap point: build the fused pipeline UDFs around
+    injected models instead of the deterministic stand-ins.
+
+    - ``lm``: a ``(logprob_dict, oov_logprob)`` pair, the shape
+      :func:`textproc.lm_and_oov` returns — swap in a real KenLM-style
+      table here (load it driver-side; the closure ships it to workers
+      via cloudpickle, or broadcast it first for very large tables).
+    - ``langid_fn``: ``text -> lang_code`` callable — swap in a real
+      fastText ``model.predict`` wrapper here.  Must be picklable.
+
+    Defaults (both ``None``) keep the lazy per-executor singletons, so
+    nothing is shipped in the closure.  Returns
+    ``(process_page_udf, process_text_udf)``.  The injection reaches
+    the Python WORKERS (not just the driver) because the captured
+    objects ride the serialized closure — asserted by
+    ``tests/test_model_seam.py``.
+    """
+
+    @F.pandas_udf(_PROC_SCHEMA)
+    def page_udf(html: pd.Series) -> pd.DataFrame:
+        texts = html.map(textproc.extract_text)
+        return _process_texts(texts, lm=lm, langid_fn=langid_fn)
+
+    @F.pandas_udf(_PROC_SCHEMA)
+    def text_udf(text: pd.Series) -> pd.DataFrame:
+        return _process_texts(text, lm=lm, langid_fn=langid_fn)
+
+    return page_udf, text_udf
 
 
-@F.pandas_udf(_PROC_SCHEMA)
-def process_text_udf(text: pd.Series) -> pd.DataFrame:
-    """Fused hot path for pre-extracted text (reextract=False);
-    ``text_ex`` passes through unchanged."""
-    return _process_texts(text)
+# default instances — fused hot path: html -> (text, langid, perplexity,
+# scrub) in ONE Arrow round-trip.  Chaining individual UDFs instead
+# would ship the extracted text across the JVM<->Python boundary three
+# extra times; fusing them is the single biggest pipeline win (~25%).
+# They call the same textproc functions as the individual UDFs, so the
+# byte-identical contract is unchanged.  process_text_udf is the
+# pre-extracted-text form (reextract=False); text_ex passes through.
+process_page_udf, process_text_udf = make_process_udfs()
 
 
 def pii_hits_map_col(struct_col: str | None = None, prefix: str = "hits_") -> F.Column:

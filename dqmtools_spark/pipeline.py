@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from dqmtools_spark.functions import textstats
 from dqmtools_spark.functions.udfs import (
     PROC_FIELD_NAMES,
+    make_process_udfs,
     pii_hits_map_col,
     process_page_udf,
     process_text_udf,
@@ -47,7 +48,9 @@ from dqmtools_spark.rules.core import RuleBuildOutcome, RuleRegistry, evaluate_r
 DEFAULT_PART_BUCKETS = 64
 
 
-def python_phase(df: DataFrame, reextract: bool = True) -> DataFrame:
+def python_phase(
+    df: DataFrame, reextract: bool = True, models: dict | None = None
+) -> DataFrame:
     """PHASE 1: pages -> flat (url, warc_ts, lang, text_ex, lang_pred,
     perplexity, scrubbed_text, hits_*) — all Python work of the
     pipeline, one fused Arrow stage, flattened so the result can be
@@ -55,10 +58,15 @@ def python_phase(df: DataFrame, reextract: bool = True) -> DataFrame:
 
     ``reextract=True`` recomputes text from html (the byte-identical
     invariant path); False trusts the incoming ``text`` column.
+    ``models`` injects real models through the swap point — a dict with
+    optional keys ``lm`` and ``langid_fn`` passed to
+    :func:`~dqmtools_spark.functions.udfs.make_process_udfs`.
     """
-    proc = (
-        process_page_udf(F.col("html")) if reextract else process_text_udf(F.col("text"))
-    )
+    if models:
+        page_udf, text_udf = make_process_udfs(**models)
+    else:
+        page_udf, text_udf = process_page_udf, process_text_udf
+    proc = page_udf(F.col("html")) if reextract else text_udf(F.col("text"))
     return df.select("url", "warc_ts", "lang", proc.alias("_proc")).select(
         "url", "warc_ts", "lang", *[F.col(f"_proc.{f}").alias(f) for f in PROC_FIELD_NAMES]
     )
@@ -88,10 +96,15 @@ def enrich_pages(
     spark: SparkSession,
     reextract: bool = True,
     n_buckets: int = DEFAULT_PART_BUCKETS,
+    models: dict | None = None,
 ) -> DataFrame:
     """pages -> pages + extracted text + lang_pred + stats + thresholds
     (both phases, fused into one job)."""
-    return jvm_phase(python_phase(df, reextract=reextract), spark, n_buckets=n_buckets)
+    return jvm_phase(
+        python_phase(df, reextract=reextract, models=models),
+        spark,
+        n_buckets=n_buckets,
+    )
 
 
 def _fold_results(
@@ -123,11 +136,15 @@ def run_pipeline(
     registry: RuleRegistry | None = None,
     reextract: bool = True,
     n_buckets: int = DEFAULT_PART_BUCKETS,
+    models: dict | None = None,
 ) -> tuple[DataFrame, list[RuleBuildOutcome]]:
     """Full per-document pipeline, one fused job; returns
-    (doc_results, rule outcomes)."""
+    (doc_results, rule outcomes).  ``models`` swaps in real
+    langid/perplexity models (see :func:`python_phase`)."""
     registry = registry or default_registry()
-    enriched = enrich_pages(pages, spark, reextract=reextract, n_buckets=n_buckets)
+    enriched = enrich_pages(
+        pages, spark, reextract=reextract, n_buckets=n_buckets, models=models
+    )
     return _fold_results(enriched, registry)
 
 
@@ -154,6 +171,7 @@ def run_pipeline_staged(
     reextract: bool = True,
     n_buckets: int = DEFAULT_PART_BUCKETS,
     force: bool = False,
+    models: dict | None = None,
 ) -> tuple[DataFrame, list[RuleBuildOutcome]]:
     """Pipeline with the phase-1 output materialized to
     ``checkpoint_path`` (parquet) — the durable decoded-text checkpoint
@@ -170,9 +188,9 @@ def run_pipeline_staged(
     """
     registry = registry or default_registry()
     if force or not staged_checkpoint_complete(spark, checkpoint_path):
-        python_phase(pages, reextract=reextract).write.mode("overwrite").parquet(
-            checkpoint_path
-        )
+        python_phase(
+            pages, reextract=reextract, models=models
+        ).write.mode("overwrite").parquet(checkpoint_path)
     processed = spark.read.parquet(checkpoint_path)
     enriched = jvm_phase(processed, spark, n_buckets=n_buckets)
     return _fold_results(enriched, registry)
