@@ -126,6 +126,12 @@ def png_pixel_features(payload: bytes) -> np.ndarray | None:
         # corrupt deflate stream) degrades to a null feature — one bad
         # row must never fail the job
         return None
+    if w * h == 0:
+        # zero-area PNGs are VALID per the codec but have no pixels:
+        # mean()/std() over an empty array would emit NaN features (and
+        # a RuntimeWarning) — degrade to the null feature like any
+        # other undecodable payload
+        return None
     arr = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(h, w, c)
     f = arr.astype(np.float64)
     ch_means = [float(f[:, :, i].mean()) for i in range(min(c, 3))]

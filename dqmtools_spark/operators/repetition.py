@@ -30,7 +30,11 @@ def top_ngram_stats(
 
     Empty documents report fraction 0.0; documents shorter than n words
     use their full token window as the single gram (word_shingles
-    fallback), so every document appears exactly once in the output.
+    fallback).  Every NON-NULL-text document appears exactly once in
+    the output; NULL-text documents are EXCLUDED (word_shingles maps
+    null text to null and the explode drops the row) — the right
+    contract for a repetition signal (a null doc has no modal gram),
+    and the one the DuckDB oracle shares.
     """
     grams = word_shingles(F.col(text_col), n, distinct=False)
     ex = df.select(

@@ -9,7 +9,9 @@ tokens — is a running-sum window:
 
 i.e. the shard the document's FIRST token lands in.  Deterministic,
 reproducible across runs and cluster sizes, and exactly expressible in
-any engine (integer window sum + one exact division).
+any engine: integer window sum + one INTEGER division (Spark ``div`` =
+DuckDB ``//``; both non-negative here, so trunc = floor), exact over
+the full int64 range — no 2^53 double ceiling.
 
 Scale note: a single global ``ORDER BY`` window is a total sort — fine
 for the report-sized query below, but at 10^12 docs you shard
@@ -46,8 +48,17 @@ def assign_token_shards(
     )
     tokens = token_count.cast("long")
     cum = F.sum(tokens).over(w)
-    shard = F.floor((cum - tokens) / F.lit(float(budget))).cast("long")
-    return df.withColumn("tokens", tokens).withColumn("shard", shard)
+    # PURE integer division (SQL `div`), not float-divide-then-floor:
+    # double division is only exact while the cumulative sum < 2^53,
+    # and a corpus-scale token count can exceed that — `div` stays
+    # exact for the full int64 range in every engine (DuckDB `//`,
+    # Spark `div`).
+    return (
+        df.withColumn("tokens", tokens)
+        .withColumn("_excl_cum", cum - tokens)
+        .withColumn("shard", F.expr(f"_excl_cum div {int(budget)}"))
+        .drop("_excl_cum")
+    )
 
 
 def shard_summary(

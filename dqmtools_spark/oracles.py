@@ -306,9 +306,9 @@ def doc_line_dedup_sql() -> str:
 
 def token_shards_sql(budget: int) -> str:
     """Oracle for greedy token-budget sharding: exclusive running sum
-    over doc_id order, shard = floor(cum_before / budget) — integer
-    window math plus one exact division (< 2^53), identical in both
-    engines."""
+    over doc_id order, shard = cum_before DIV budget — pure integer
+    window math plus one INTEGER division (DuckDB ``//`` = Spark
+    ``div``), exact over the full int64 range in both engines."""
     return f"""
         WITH t AS (
             SELECT doc_id,
@@ -321,7 +321,7 @@ def token_shards_sql(budget: int) -> str:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
             FROM t
         )
-        SELECT CAST(FLOOR((cum - tokens) / {float(budget)}) AS BIGINT) AS shard,
+        SELECT CAST((cum - tokens) // {int(budget)} AS BIGINT) AS shard,
                COUNT(*) AS n_docs,
                CAST(SUM(tokens) AS BIGINT) AS total_tokens,
                CAST(MIN(tokens) AS BIGINT) AS min_doc_tokens,

@@ -173,3 +173,19 @@ def test_image_sink_renders_metrics_png(spark, tmp_path):
     assert px(4, 1) == (255, 80, 40)           # max cell = red end
     assert px(1, 4) == (128, 128, 128)         # None cell = gray
     assert px(4, 4) == (255, 255, 255)         # mid cell = white
+
+
+def test_zero_area_png_degrades_to_null_feature():
+    """A structurally valid PNG with width or height 0 has no pixels:
+    the feature extractor must return None (like malformed payloads),
+    never NaN features (ADVICE r2)."""
+    import warnings
+
+    from dqmtools_spark.functions.pngcodec import encode_png
+    from dqmtools_spark.operators.multimodal import png_pixel_features
+
+    for w, h in ((0, 4), (4, 0), (0, 0)):
+        payload = encode_png(b"", w, h, 1)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # NaN path raised RuntimeWarning
+            assert png_pixel_features(payload) is None
