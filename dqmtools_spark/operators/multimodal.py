@@ -1,10 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + metadata.
 
 The Spark-side plumbing is real — schemas, Arrow batch shapes,
-``mapInPandas`` signatures, partition sizing — and ONE codec path is
+``mapInPandas`` signatures, partition sizing — and TWO codec paths are
 real end-to-end: PNG decode via the pure-Python inflate+unfilter codec
-(``functions/pngcodec.py``), feeding actual pixel statistics into the
-feature vector (``stub=False``).  The remaining formats (JPEG/GIF
+(``functions/pngcodec.py``) and baseline-JPEG decode via the
+pure-Python Huffman+IDCT codec (``functions/jpegcodec.py``), both
+feeding actual pixel statistics into the feature vector
+(``stub=False``).  The remaining formats (progressive JPEG, GIF
 pixels, audio, video) stay honestly stubbed — ``decode_media_meta``
 parses their real headers, ``extract_features(stub=True)`` emits a
 seeded deterministic fake embedding; swapping in Pillow/torchaudio is
@@ -126,11 +128,16 @@ def png_pixel_features(payload: bytes) -> np.ndarray | None:
         # corrupt deflate stream) degrades to a null feature — one bad
         # row must never fail the job
         return None
+    # zero-area PNGs are VALID per the codec but have no pixels:
+    # mean()/std() over an empty array would emit NaN features — the
+    # shared helper degrades them to the null feature like any other
+    # undecodable payload
+    return _pixels_to_features(w, h, c, pix)
+
+
+def _pixels_to_features(w: int, h: int, c: int, pix: bytes) -> np.ndarray | None:
+    """Shared pixel-statistics feature vector (see png_pixel_features)."""
     if w * h == 0:
-        # zero-area PNGs are VALID per the codec but have no pixels:
-        # mean()/std() over an empty array would emit NaN features (and
-        # a RuntimeWarning) — degrade to the null feature like any
-        # other undecodable payload
         return None
     arr = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(h, w, c)
     f = arr.astype(np.float64)
@@ -147,18 +154,45 @@ def png_pixel_features(payload: bytes) -> np.ndarray | None:
     return vec
 
 
+def jpeg_pixel_features(payload: bytes) -> np.ndarray | None:
+    """REAL feature vector from actual baseline-JPEG pixels
+    (pure-Python decoder, ``functions/jpegcodec.py``) — same layout as
+    :func:`png_pixel_features`.  Returns None for malformed payloads
+    AND for valid-but-unsupported variants (progressive, 12-bit,
+    CMYK): one undecodable row must never fail the job."""
+    from dqmtools_spark.functions.jpegcodec import decode_jpeg
+
+    try:
+        w, h, c, pix = decode_jpeg(payload)
+    except (ValueError, NotImplementedError, struct.error, IndexError):
+        return None
+    return _pixels_to_features(w, h, c, pix)
+
+
+def pixel_features(payload: bytes) -> np.ndarray | None:
+    """Format-dispatching real decode: PNG and baseline JPEG decode to
+    actual pixels; everything else (GIF pixels, audio, video) yields
+    the null feature — the honestly-stubbed remainder."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_pixel_features(payload)
+    if payload[:2] == b"\xff\xd8":
+        return jpeg_pixel_features(payload)
+    return None
+
+
 def extract_features(df: DataFrame, stub: bool = True) -> DataFrame:
     """Feature extraction over binary payloads.
 
     ``stub=True`` emits a DETERMINISTIC FAKE feature (seeded
     hash-derived vector) for every payload — the fully-uniform path for
-    plan/shape testing.  ``stub=False`` runs the REAL decoder for PNG
-    payloads (pure-Python inflate + unfilter -> pixel statistics; see
-    :func:`png_pixel_features`) and yields null features for formats
-    this container cannot decode (JPEG/GIF/audio/video need external
-    codec libraries — that remainder is the honestly-stubbed part).
-    The Spark plan (partition-parallel mapInPandas, Arrow batches,
-    array<float> output) is identical in both modes.
+    plan/shape testing.  ``stub=False`` runs the REAL decoders for PNG
+    (pure-Python inflate + unfilter) and baseline-JPEG (pure-Python
+    Huffman + IDCT) payloads — see :func:`pixel_features` — and yields
+    null features for formats this container cannot decode (progressive
+    JPEG, GIF pixels, audio, video need external codec libraries — that
+    remainder is the honestly-stubbed part).  The Spark plan
+    (partition-parallel mapInPandas, Arrow batches, array<float>
+    output) is identical in both modes.
     """
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -174,7 +208,7 @@ def extract_features(df: DataFrame, stub: bool = True) -> DataFrame:
                     rng = np.random.default_rng(seed)
                     out.append(rng.standard_normal(FEATURE_DIM).astype(np.float32))
                 else:
-                    out.append(png_pixel_features(b))
+                    out.append(pixel_features(b))
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": out})
 
     return df.mapInPandas(feats, schema=FEATURES_SCHEMA)
