@@ -765,6 +765,26 @@ def q_doc_line_dedup(spark, sf):
     )
 
 
+def q_doc_global_line_dedup(spark, sf):
+    """C4-style corpus-GLOBAL line dedup: every line survives only at
+    its first (doc_id, idx) occurrence across the whole corpus.  The
+    documents table has no newlines, so both engines first derive the
+    same deterministic multi-line form (4-word chunks; ~430 cross-doc
+    duplicate lines exist at sf0.01).  Byte-level md5 differential of
+    each reassembled document."""
+    from dqmtools_spark.operators.dedup import global_line_dedup
+
+    d = _t(spark, sf, "documents")
+    ws = F.split(F.col("text"), " ")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(ws), F.lit(4)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, F.lit(4))),
+    )
+    pages = d.select("doc_id", F.array_join(chunks, "\n").alias("text"))
+    out = global_line_dedup(pages, "text", "doc_id")
+    return out.select("doc_id", "n_kept", F.md5("deduped_text").alias("dedup_md5"))
+
+
 def q_token_shards(spark, sf):
     """Training-shard packing: deterministic greedy ~2000-token shards
     over doc_id order; per-shard packing report."""
@@ -991,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_staged_agg": q_pipeline_staged_agg,
         "doc_top_bigram": q_doc_top_bigram,
         "float_lsh_invariant": q_float_lsh_invariant,
+        "doc_global_line_dedup": q_doc_global_line_dedup,
         "pricing_summary": q_pricing_summary,
         "filter_compound": q_filter_compound,
         "filter_sql_string": q_filter_sql_string,
@@ -1062,6 +1083,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": oracles.ivf_topk_sql(n_centroids=8, n_probe=3, k=10),
         "spectral_peak": oracles.spectral_peak_sql(n=32, max_freq=14),
         "doc_line_dedup": oracles.doc_line_dedup_sql(),
+        "doc_global_line_dedup": oracles.global_line_dedup_sql(chunk=4, min_chars=1),
         "token_shards": oracles.token_shards_sql(budget=2000),
         "contamination": oracles.contamination_sql(n=8, eval_max_id=20),
         "doc_top_bigram": oracles.doc_top_bigram_sql(),

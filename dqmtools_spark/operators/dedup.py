@@ -700,6 +700,71 @@ def simhash_pairs(
     return _finish_eager(out, [sig]) if eager else out
 
 
+# ------------------------------------------ corpus-global line dedup
+
+
+def global_line_dedup(
+    df: DataFrame, text_col: str, id_col: str, min_chars: int = 1
+) -> DataFrame:
+    """C4-style GLOBAL line deduplication (Raffel et al. 2020 §2.2
+    discard repeated spans, applied at line granularity as CCNet/
+    RefinedWeb do): across the WHOLE corpus, a line survives only at
+    its FIRST occurrence — first = smallest (id, line_index) — and each
+    document is reassembled from its surviving lines in original order.
+    Complements :func:`~dqmtools_spark.functions.textstats.
+    dedup_repeated_lines`, which is intra-document/per-row only.
+
+    Returns (id_col, deduped_text, n_kept).  A document whose every
+    line occurred earlier comes back with ``deduped_text=''`` and
+    ``n_kept=0`` (C4 then drops such docs via the length rule).  Lines
+    shorter than ``min_chars`` are exempt (always kept): the default 1
+    exempts only empty lines, so blank-line structure survives.
+    NULL-text docs also return ('', 0).
+
+    Scale shape — the canonical global span-dedup plan, all rows
+    O(corpus lines), no all-pairs anything:
+      1. posexplode lines, key = md5(line) (narrow 32-byte shuffle key
+         instead of the raw line; md5 keeps the oracle portable),
+      2. winner per key = ``min(struct(id, idx))`` — ONE hash aggregate
+         with map-side partial combine,
+      3. broadcast-free equi-join lines->winners on the hash,
+      4. one groupBy(id) to reassemble (sorted by line index).
+    Deterministic across runs and cluster sizes: winners are pure mins.
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_idx", "_line"),
+    ).withColumn("_h", F.md5(F.col("_line")))
+    winners = (
+        ex.filter(F.length("_line") >= min_chars)
+        .groupBy("_h")
+        .agg(F.min(F.struct("_id", "_idx")).alias("_w"))
+    )
+    kept = ex.join(winners, "_h", "left").filter(
+        (F.length("_line") < min_chars)
+        | ((F.col("_w._id") == F.col("_id")) & (F.col("_w._idx") == F.col("_idx")))
+    )
+    docs = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("deduped_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(docs, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
 # ------------------------------------------- embedding-cosine near-dup
 
 

@@ -285,6 +285,47 @@ def spectral_peak_sql(n: int = 32, max_freq: int = 14) -> str:
     """
 
 
+def global_line_dedup_sql(chunk: int = 4, min_chars: int = 1) -> str:
+    """Oracle for corpus-GLOBAL line dedup over the chunked documents
+    form (the testdata has no newlines, so both engines first derive
+    the same ``chunk``-word lines).  Winner-per-line = first occurrence
+    by (doc_id, idx) — ROW_NUMBER over MD5(line) here, min(struct) in
+    Spark: identical for the exact same (md5, order) key.  md5 of the
+    reassembled text is the byte-level differential."""
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   ARRAY_TO_STRING(
+                       LIST_TRANSFORM(
+                           RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1, {chunk}),
+                           i -> ARRAY_TO_STRING(
+                               STRING_SPLIT(text, ' ')[i:i+{chunk - 1}], ' ')),
+                       CHR(10)) AS t
+            FROM documents
+        ),
+        l AS (
+            SELECT doc_id, s['i'] AS idx, s['l'] AS line
+            FROM (SELECT doc_id,
+                         UNNEST(LIST_TRANSFORM(STRING_SPLIT(t, CHR(10)),
+                                (x, i) -> {{'i': i, 'l': x}})) AS s
+                  FROM d)
+        ),
+        k AS (
+            SELECT doc_id, idx, line,
+                   (LENGTH(line) < {min_chars}) OR
+                   (ROW_NUMBER() OVER (PARTITION BY MD5(line)
+                                       ORDER BY doc_id, idx) = 1) AS keep
+            FROM l
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+               MD5(COALESCE(STRING_AGG(CASE WHEN keep THEN line END,
+                                       CHR(10) ORDER BY idx), '')) AS dedup_md5
+        FROM k
+        GROUP BY doc_id
+    """
+
+
 def doc_line_dedup_sql() -> str:
     """Oracle for intra-document repeated-line removal: DuckDB's
     indexed LIST_FILTER + LIST_POSITION are 1-based like Spark's

@@ -75,3 +75,4 @@ def test_eager_and_lazy_agree(spark, sf_dir, clean_cache):
         ).collect()
     }
     assert eager == lazy
+

@@ -532,3 +532,25 @@ def test_n_planes_for_corpus_monotone_and_guarded():
         n_planes_for_corpus(0)
     with _pytest.raises(ValueError):
         n_planes_for_corpus(100, 0)
+
+
+def test_global_line_dedup_semantics(spark):
+    """Planted shared boilerplate survives only in the first doc;
+    unique lines all survive; a fully-duplicated doc empties out;
+    blank lines are exempt (min_chars=1)."""
+    from dqmtools_spark.operators.dedup import global_line_dedup
+
+    rows = [
+        (1, "alpha beta\nBOILER\n\ngamma"),
+        (2, "delta\nBOILER\n\nepsilon"),
+        (3, "alpha beta\nBOILER"),  # every line seen before -> empty
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in global_line_dedup(df, "text", "doc_id").collect()}
+    assert got[1]["deduped_text"] == "alpha beta\nBOILER\n\ngamma"
+    assert got[1]["n_kept"] == 4
+    assert got[2]["deduped_text"] == "delta\n\nepsilon"  # BOILER gone, blank kept
+    assert got[2]["n_kept"] == 3
+    assert got[3]["deduped_text"] == "" and got[3]["n_kept"] == 0
+    assert got[4]["deduped_text"] == "" and got[4]["n_kept"] == 0
