@@ -814,6 +814,122 @@ def q_contamination(spark, sf):
     )
 
 
+def q_asof_latest_click(spark, sf):
+    """As-of join (time-series lookup Spark lacks as a primitive): for
+    every 'error' event, the latest 'click' by the same user at or
+    before it, with the exact integer gap in microseconds.  Spark side
+    is the union+ordered-window construction (operators/asof.py, one
+    shuffle); the oracle is DuckDB's NATIVE ``ASOF LEFT JOIN`` — a
+    fully independent implementation of the same semantics."""
+    from dqmtools_spark.operators.asof import asof_join
+    from dqmtools_spark.operators.sessions import epoch_micros_fn
+
+    ev = _t(spark, sf, "events")
+    micros = epoch_micros_fn(ev, "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(errs, clicks, on="user_id", left_ts="ts", right_ts="ts",
+                  payload_prefix="m_")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("m_click_event_id").alias("click_event_id"),
+        (micros(F.col("ts")) - micros(F.col("m_ts"))).alias("gap_us"),
+    )
+
+
+def q_event_sessions(spark, sf):
+    """Gap-based sessionization (12h inactivity threshold) of the
+    events stream: one row per (user, session) with event count and
+    exact integer duration — lag + running-sum windows sharing one
+    sort, integer-microsecond boundary decisions."""
+    from dqmtools_spark.operators.sessions import session_summary
+
+    ev = _t(spark, sf, "events")
+    out = session_summary(ev, "user_id", "ts", gap_minutes=720,
+                          tiebreak="event_id")
+    return out.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "n_events",
+        "duration_us",
+    )
+
+
+def q_url_canon_dedup(spark, sf):
+    """CommonCrawl-style canonical-URL dedup: five deterministic messy
+    variants (case, www, default port, tracking params, fragment,
+    trailing slash) are derived per doc and collapsed by
+    ``canonical_url`` (pure codegen regexp/string expressions); output
+    is one row per canonical URL with the collision count.  The oracle
+    re-renders the same normalization in DuckDB's RE2 engine
+    (``canonical_url_sql``) — a cross-regex-engine differential."""
+    from dqmtools_spark.functions.urls import canonical_url
+
+    d = _t(spark, sf, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    pid = (F.col("doc_id") % 40).cast("string")
+    path = F.concat(F.lit("/p/"), pid)
+    v = F.col("doc_id") % 5
+    messy = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, path))
+        .when(v == 1, F.concat(F.lit("HTTPS://WWW."), F.upper(host), path,
+                               F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit(":443"), path,
+                               F.lit("?utm_source=feed&utm_medium=rss")))
+        .when(v == 3, F.concat(F.lit("http://"), host, F.lit(":80"), path,
+                               F.lit("?id="), pid,
+                               F.lit("&utm_campaign=x#sec2")))
+        .otherwise(F.concat(F.lit("https://www."), host, path,
+                            F.lit("?fbclid=abc&page=2")))
+    )
+    return (
+        d.select(F.col("doc_id"), canonical_url(messy).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def q_doc_dup_line_fraction(spark, sf):
+    """Gopher duplicate-line signals per document over the same
+    deterministic 4-word-chunk line form as doc_global_line_dedup:
+    multiplicity counts + exact-single-division fractions, two
+    map-side-combinable aggregates (no per-doc sort)."""
+    from dqmtools_spark.operators.repetition import dup_line_stats
+
+    d = _t(spark, sf, "documents")
+    ws = F.split(F.col("text"), " ")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(ws), F.lit(4)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, F.lit(4))),
+    )
+    return dup_line_stats(
+        d.select("doc_id", chunks.alias("_chunks")), F.col("_chunks"), "doc_id"
+    )
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic exactly-K-per-stratum sample (K=20 docs per
+    language) by portable md5 rank — reproducible across cluster sizes
+    and partitionings, unlike df.sample/sampleBy."""
+    from dqmtools_spark.operators.sampling import stratified_hash_sample
+
+    d = _t(spark, sf, "documents")
+    s = stratified_hash_sample(d, ["lang"], "doc_id", k=20)
+    return s.select(
+        "lang", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
 def q_doc_top_bigram(spark, sf):
     """Gopher repetition signal: per-document most-common word bigram
     and the character fraction it covers, aggregated per source (avg
@@ -1001,6 +1117,40 @@ def q_float_lsh_invariant(spark, sf):
 # ---------------------------------------------------------------------------
 
 
+def _url_canon_oracle_sql() -> str:
+    """DuckDB side of q_url_canon_dedup: the same five messy-URL
+    variants, normalized by the RE2 rendering of canonical_url."""
+    from dqmtools_spark.functions.urls import canonical_url_sql
+
+    return f"""
+        WITH b AS (
+            SELECT doc_id,
+                   source || '.example.com' AS host,
+                   CAST(doc_id % 40 AS VARCHAR) AS pid
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'https://' || host || '/p/' || pid
+                     WHEN 1 THEN 'HTTPS://WWW.' || UPPER(host)
+                                 || '/p/' || pid || '/'
+                     WHEN 2 THEN 'https://' || host || ':443/p/' || pid
+                                 || '?utm_source=feed&utm_medium=rss'
+                     WHEN 3 THEN 'http://' || host || ':80/p/' || pid
+                                 || '?id=' || pid || '&utm_campaign=x#sec2'
+                     ELSE 'https://www.' || host || '/p/' || pid
+                                 || '?fbclid=abc&page=2'
+                   END AS messy
+            FROM b
+        )
+        SELECT canon_url, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+        FROM (SELECT doc_id, {canonical_url_sql('messy')} AS canon_url
+              FROM m)
+        GROUP BY canon_url
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver executes entries in dict order and may
     # cap total time before finishing.  The three queries that lacked a
@@ -1012,6 +1162,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_bigram": q_doc_top_bigram,
         "float_lsh_invariant": q_float_lsh_invariant,
         "doc_global_line_dedup": q_doc_global_line_dedup,
+        # round-3 additions — not yet driver-verified, so they run ahead
+        # of the long-proven block
+        "asof_latest_click": q_asof_latest_click,
+        "event_sessions": q_event_sessions,
+        "url_canon_dedup": q_url_canon_dedup,
+        "doc_dup_line_fraction": q_doc_dup_line_fraction,
+        "stratified_sample": q_stratified_sample,
         "pricing_summary": q_pricing_summary,
         "filter_compound": q_filter_compound,
         "filter_sql_string": q_filter_sql_string,
@@ -1097,6 +1254,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(0 AS BIGINT) AS n_false_pos,
                    CAST(1 AS BIGINT) AS recall_ge_int_tier,
                    CAST(1 AS BIGINT) AS ivf_topk_in_exact_top50
+        """,
+        "asof_latest_click": """
+            WITH clicks AS (
+                SELECT user_id, ts, MAX(event_id) AS click_event_id
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts
+            ),
+            errs AS (
+                SELECT event_id, user_id, ts
+                FROM events WHERE event_type = 'error'
+            )
+            SELECT e.event_id, e.user_id, c.click_event_id,
+                   epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+            FROM errs e ASOF LEFT JOIN clicks c
+              ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "event_sessions": """
+            WITH g AS (
+                SELECT user_id, event_id, ts, epoch_us(ts) AS tus,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)
+                           AS gap
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, tus,
+                       CAST(SUM(CASE WHEN gap IS NULL
+                                      OR gap > 43200000000
+                                     THEN 1 ELSE 0 END) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_seq
+                FROM g
+            )
+            SELECT user_id, session_seq, COUNT(*) AS n_events,
+                   MAX(tus) - MIN(tus) AS duration_us
+            FROM s GROUP BY user_id, session_seq
+        """,
+        "url_canon_dedup": _url_canon_oracle_sql(),
+        "doc_dup_line_fraction": """
+            WITH d AS (
+                SELECT doc_id,
+                       LIST_TRANSFORM(
+                           RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1, 4),
+                           i -> ARRAY_TO_STRING(
+                               STRING_SPLIT(text, ' ')[i:i+3], ' ')) AS chunks
+                FROM documents WHERE text IS NOT NULL
+            ),
+            l AS (
+                SELECT doc_id, UNNEST(chunks) AS line FROM d
+            ),
+            per_line AS (
+                SELECT doc_id, line, LENGTH(line) AS len,
+                       COUNT(*) AS c
+                FROM l GROUP BY doc_id, line
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_lines,
+                       CAST(SUM(c - 1) AS BIGINT) AS dup_lines,
+                       CAST(SUM(c * len) AS BIGINT) AS line_chars,
+                       CAST(SUM((c - 1) * len) AS BIGINT) AS dup_chars
+                FROM per_line GROUP BY doc_id
+            )
+            SELECT doc_id, n_lines, dup_lines, dup_chars,
+                   CASE WHEN n_lines = 0 THEN 0.0
+                        ELSE CAST(dup_lines AS DOUBLE) / n_lines
+                   END AS dup_line_frac,
+                   CASE WHEN line_chars = 0 THEN 0.0
+                        ELSE CAST(dup_chars AS DOUBLE) / line_chars
+                   END AS dup_char_frac
+            FROM per_doc
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id, sample_rank FROM (
+                SELECT lang, doc_id,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS BIGINT) AS sample_rank
+                FROM documents
+            ) WHERE sample_rank <= 20
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -60,3 +60,51 @@ def top_ngram_stats(
         F.col("top_count"),
         frac.alias("char_fraction"),
     )
+
+
+def dup_line_stats(
+    df: DataFrame, lines_col, id_col: str
+) -> DataFrame:
+    """Gopher duplicate-line signals per document: the fraction of
+    lines that repeat an earlier identical line, and the fraction of
+    line characters those repeats account for.
+
+    ``lines_col``: array<string> column expression (the caller chooses
+    the line derivation — real ``\\n`` lines, or a deterministic
+    chunking when the corpus is single-line).
+
+    Counting is multiplicity-based with keep-first semantics: a line
+    occurring c times contributes c-1 duplicate lines and (c-1)*len
+    duplicate characters — no window needed, so the plan is explode ->
+    ONE map-side-combinable hash aggregate on (doc, line) -> ONE on
+    doc: two exchanges keyed by the doc id, never a per-doc sort.  The
+    emitted fractions are single exact divisions of integer counts
+    (engine-portable); the counts themselves ride along for integer
+    comparison.  NULL-text documents are excluded (same contract as
+    :func:`top_ngram_stats`).
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(lines_col).alias("_line")
+    ).withColumn("_len", F.length("_line").cast("long"))
+    # _len is functionally dependent on _line; grouping on it too keeps
+    # the aggregate purely map-side-combinable (no first())
+    per_line = ex.groupBy(id_col, "_line", "_len").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per_doc = per_line.groupBy(id_col).agg(
+        F.sum("_c").alias("n_lines"),
+        F.sum(F.col("_c") - 1).alias("dup_lines"),
+        F.sum(F.col("_c") * F.col("_len")).alias("line_chars"),
+        F.sum((F.col("_c") - 1) * F.col("_len")).alias("dup_chars"),
+    )
+    safe = lambda num, den: F.when(  # noqa: E731
+        F.col(den) == 0, F.lit(0.0)
+    ).otherwise(F.col(num).cast("double") / F.col(den))
+    return per_doc.select(
+        id_col,
+        "n_lines",
+        "dup_lines",
+        "dup_chars",
+        safe("dup_lines", "n_lines").alias("dup_line_frac"),
+        safe("dup_chars", "line_chars").alias("dup_char_frac"),
+    )

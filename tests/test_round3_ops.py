@@ -1,0 +1,224 @@
+"""Semantic tests for the round-3 operators: as-of join (vs pandas
+merge_asof), sessionization (vs a brute-force loop), URL
+canonicalization (explicit cases + idempotence), duplicate-line
+fractions, stratified sampling (exactness + partitioning
+invariance)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dqmtools_spark.functions.urls import canonical_url
+from dqmtools_spark.operators.asof import asof_join
+from dqmtools_spark.operators.repetition import dup_line_stats
+from dqmtools_spark.operators.sampling import stratified_hash_sample
+from dqmtools_spark.operators.sessions import session_summary, sessionize
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes)
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    rng = random.Random(7)
+    left = [(i, rng.randrange(4), _ts(rng.randrange(10_000))) for i in range(300)]
+    right = [
+        (1000 + i, rng.randrange(4), _ts(rng.randrange(10_000)))
+        for i in range(200)
+    ]
+    # unique per (key, ts) — the operator's documented contract
+    seen: dict[tuple, int] = {}
+    right = [r for r in right if seen.setdefault((r[1], r[2]), r[0]) == r[0]]
+
+    ldf = spark.createDataFrame(left, ["lid", "k", "ts"])
+    rdf = spark.createDataFrame(right, ["rid", "k", "rts"])
+    got = (
+        asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="rts")
+        .select("lid", "asof_rid")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+
+    lp = pd.DataFrame(left, columns=["lid", "k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right, columns=["rid", "k", "rts"]).sort_values("rts")
+    want = (
+        pd.merge_asof(
+            lp, rp, left_on="ts", right_on="rts", by="k", direction="backward"
+        )
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert got["asof_rid"].astype("Int64").equals(want["rid"].astype("Int64"))
+
+
+def test_asof_join_inclusive_and_outer(spark):
+    ldf = spark.createDataFrame(
+        [(1, 1, _ts(10)), (2, 1, _ts(5)), (3, 2, _ts(0))], ["lid", "k", "ts"]
+    )
+    rdf = spark.createDataFrame(
+        [(100, 1, _ts(10)), (101, 1, _ts(4))], ["rid", "k", "rts"]
+    )
+    out = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="rts")
+        .collect()
+    }
+    assert out[1] == 100  # equal timestamp matches (inclusive)
+    assert out[2] == 101
+    assert out[3] is None  # no right row for key 2 -> left-outer NULL
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+
+def _brute_sessions(events, gap_minutes):
+    """events: (key, ts, id) -> {(key, seq): [ids]} by definition."""
+    out: dict[tuple, list] = {}
+    bykey: dict[int, list] = {}
+    for k, ts, i in events:
+        bykey.setdefault(k, []).append((ts, i))
+    for k, evs in bykey.items():
+        evs.sort()
+        seq = 0
+        prev = None
+        for ts, i in evs:
+            if prev is None or (ts - prev) > dt.timedelta(minutes=gap_minutes):
+                seq += 1
+            out.setdefault((k, seq), []).append(i)
+            prev = ts
+    return out
+
+
+def test_sessionize_matches_bruteforce(spark):
+    rng = random.Random(11)
+    events = [
+        (rng.randrange(5), _ts(rng.randrange(3_000)), i) for i in range(400)
+    ]
+    df = spark.createDataFrame(events, ["k", "ts", "eid"])
+    got = sessionize(df, "k", "ts", gap_minutes=30, tiebreak="eid").collect()
+    want = _brute_sessions(events, 30)
+    got_map: dict[tuple, list] = {}
+    for r in got:
+        got_map.setdefault((r["k"], r["session_seq"]), []).append(r["eid"])
+    assert {k: sorted(v) for k, v in got_map.items()} == {
+        k: sorted(v) for k, v in want.items()
+    }
+
+    summ = session_summary(df, "k", "ts", gap_minutes=30, tiebreak="eid")
+    assert summ.count() == len(want)
+    # exact boundary: gap == threshold does NOT split (strict >)
+    b = spark.createDataFrame(
+        [(1, _ts(0), 1), (1, _ts(30), 2), (1, _ts(60.001), 3)],
+        ["k", "ts", "eid"],
+    )
+    seqs = {
+        r["eid"]: r["session_seq"]
+        for r in sessionize(b, "k", "ts", 30, tiebreak="eid").collect()
+    }
+    assert seqs == {1: 1, 2: 1, 3: 2}
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+URL_CASES = [
+    ("https://site.com/a", "https://site.com/a"),
+    ("HTTPS://WWW.Site.COM/A/B/", "https://site.com/A/B"),
+    ("https://site.com:443/a?x=1", "https://site.com/a?x=1"),
+    ("http://site.com:80/a#frag", "http://site.com/a"),
+    ("https://site.com/a?utm_source=x", "https://site.com/a"),
+    ("https://site.com/a?utm_source=x&b=2", "https://site.com/a?b=2"),
+    ("https://site.com/a?b=2&utm_source=x", "https://site.com/a?b=2"),
+    (
+        "https://site.com/a?utm_a=1&utm_b=2&fbclid=z&c=3",
+        "https://site.com/a?c=3",
+    ),
+    ("https://site.com/a?gclid=1&utm_x=2", "https://site.com/a"),
+    ("  https://site.com/  ", "https://site.com"),
+    ("https://site.com", "https://site.com"),
+    # path/query case preserved, host lowered
+    ("HtTp://ExAmPle.org/Path?Q=UPPER", "http://example.org/Path?Q=UPPER"),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in URL_CASES], ["u"])
+    got = [r[0] for r in df.select(canonical_url("u")).collect()]
+    assert got == [want for _, want in URL_CASES]
+
+
+def test_canonical_url_idempotent(spark):
+    df = spark.createDataFrame([(u,) for u, _ in URL_CASES], ["u"])
+    once = df.select(canonical_url("u").alias("c"))
+    twice = once.select(canonical_url("c").alias("c2"))
+    assert [r[0] for r in once.collect()] == [r[0] for r in twice.collect()]
+
+
+# ---------------------------------------------------------------------------
+# duplicate-line fractions
+# ---------------------------------------------------------------------------
+
+
+def test_dup_line_stats_hand_example(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ["aa", "b", "aa", "aa", "cc"]),  # 'aa' x3 -> 2 dups
+            (2, ["x", "y"]),
+            (3, [""]),
+        ],
+        ["doc_id", "lines"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dup_line_stats(df, F.col("lines"), "doc_id").collect()
+    }
+    r1 = rows[1]
+    assert (r1["n_lines"], r1["dup_lines"], r1["dup_chars"]) == (5, 2, 4)
+    assert r1["dup_line_frac"] == 2 / 5
+    assert r1["dup_char_frac"] == 4 / 9  # line chars: 3*2 + 1 + 2 = 9
+    assert rows[2]["dup_lines"] == 0 and rows[2]["dup_line_frac"] == 0.0
+    # empty line: zero chars -> char fraction uses the 0-denominator guard
+    assert rows[3]["dup_char_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_exact_k_and_partition_invariant(spark):
+    rows = [(i, f"s{i % 3}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "stratum"])
+    out = stratified_hash_sample(df, ["stratum"], "id", k=7)
+    per = {
+        r["stratum"]: r["n"]
+        for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {"s0": 7, "s1": 7, "s2": 7}
+    # small cell: returns the whole cell
+    tiny = spark.createDataFrame([(1, "a"), (2, "a")], ["id", "stratum"])
+    assert stratified_hash_sample(tiny, ["stratum"], "id", k=7).count() == 2
+    # identical selection regardless of physical partitioning
+    a = {(r["stratum"], r["id"]) for r in out.collect()}
+    b = {
+        (r["stratum"], r["id"])
+        for r in stratified_hash_sample(
+            df.repartition(17), ["stratum"], "id", k=7
+        ).collect()
+    }
+    assert a == b
