@@ -66,6 +66,31 @@ def test_relational_queries_are_pure_jvm(spark, sf_dir):
         assert audit["python_evals"] == 0, f"{name} uses Python"
 
 
+def test_round3_ops_plan_shapes(spark, sf_dir):
+    """Round-3 operators: pure JVM, bounded exchanges, and — the one
+    that matters for as-of — NO join node at all (the union+window
+    construction must never degrade to a range/nested-loop join)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    budgets = {  # max shuffle exchanges per plan
+        "asof_latest_click": 2,      # clicks pre-dedup + the key exchange
+        "event_sessions": 1,         # window + session agg share one
+        "url_canon_dedup": 1,
+        "doc_dup_line_fraction": 2,  # (doc,line) then (doc)
+        "stratified_sample": 1,
+    }
+    for name, budget in budgets.items():
+        audit = plan_audit(qs[name](spark, sf_dir))
+        assert audit["python_evals"] == 0, f"{name} uses Python"
+        assert audit["shuffle_exchanges"] <= budget, f"{name}: {audit}"
+        if name == "asof_latest_click":
+            assert audit["broadcast_joins"] == 0
+            assert audit["sort_merge_joins"] == 0
+            plan = explain_str(qs[name](spark, sf_dir))
+            assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
 def test_salted_agg_two_exchanges_max(spark, sf_dir):
     """Two-phase salted aggregation: partials shuffle on (key, salt),
     merge shuffles on key — no third exchange."""
