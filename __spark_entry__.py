@@ -930,6 +930,42 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def q_bloom_dedup(spark, sf):
+    """Bloom-filter membership of a probe batch (doc_id < 50) against
+    the corpus (doc_id >= 50): 1024-bit filter, k=5 (sized small so
+    the false-positive path is exercised at sf0.01), plus the
+    exact-join ground truth column — the differential itself proves
+    the no-false-negative law on every row."""
+    from dqmtools_spark.operators.bloom import bloom_build, bloom_probe
+
+    d = _t(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") >= 50).select("text")
+    probe = d.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    words = bloom_build(corpus, "text", m_bits=1024, k=5)
+    memb = bloom_probe(probe, words, "text", "doc_id", m_bits=1024, k=5)
+    cd = corpus.distinct().withColumn("_in", F.lit(True))
+    actual = probe.join(cd, "text", "left").select(
+        "doc_id", F.coalesce("_in", F.lit(False)).alias("actual_dup")
+    )
+    return memb.join(actual, "doc_id")
+
+
+def q_group_quantiles(spark, sf):
+    """Exact distributed quantiles (G-family gap): per-group p25/50/75
+    of l_quantity via Spark's exact percentile aggregate; DuckDB's
+    quantile_cont is the independent implementation (both interpolate
+    linearly at rank (n-1)p; the probed quantities are integral and the
+    probe points are exact binary fractions, so the interpolated
+    doubles are bit-identical)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q1"),
+        F.percentile("l_quantity", 0.5).alias("median"),
+        F.percentile("l_quantity", 0.75).alias("q3"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_doc_top_bigram(spark, sf):
     """Gopher repetition signal: per-document most-common word bigram
     and the character fraction it covers, aggregated per source (avg
@@ -1169,6 +1205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon_dedup": q_url_canon_dedup,
         "doc_dup_line_fraction": q_doc_dup_line_fraction,
         "stratified_sample": q_stratified_sample,
+        "bloom_dedup": q_bloom_dedup,
+        "group_quantiles": q_group_quantiles,
         "pricing_summary": q_pricing_summary,
         "filter_compound": q_filter_compound,
         "filter_sql_string": q_filter_sql_string,
@@ -1293,6 +1331,16 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_seq
         """,
         "url_canon_dedup": _url_canon_oracle_sql(),
+        "bloom_dedup": oracles.bloom_dedup_sql(m_bits=1024, k=5, split_id=50),
+        "group_quantiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.25) AS q1,
+                   quantile_cont(l_quantity, 0.5) AS median,
+                   quantile_cont(l_quantity, 0.75) AS q3,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
         "doc_dup_line_fraction": """
             WITH d AS (
                 SELECT doc_id,

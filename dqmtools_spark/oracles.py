@@ -599,3 +599,56 @@ def pipeline_keep_agg_sql() -> str:
         FROM r
         GROUP BY lang_pred
     """
+
+
+def bloom_dedup_sql(m_bits: int, k: int, split_id: int) -> str:
+    """Oracle for the Bloom-filter membership query: replays the
+    filter bit-for-bit — same md5-60bit double hashing
+    ``(h1 + j*h2) mod m`` (h2 forced odd), 63-bit words, BIT_OR build,
+    all-bits-set probe — plus the exact-join ground truth that proves
+    the no-false-negative law inside the differential itself."""
+    from dqmtools_spark.functions.hashing import md5_hash60_sql
+
+    h1 = md5_hash60_sql("text")
+    h2 = f"({md5_hash60_sql(chr(39) + 'bloom2:' + chr(39) + ' || text')} | 1)"
+    return f"""
+        WITH corpus AS (
+            SELECT text FROM documents WHERE doc_id >= {split_id}
+        ),
+        probe AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < {split_id}
+        ),
+        cpos AS (
+            SELECT ({h1} + t.j * {h2}) % {m_bits} AS pos
+            FROM corpus CROSS JOIN range(0, {k}) AS t(j)
+        ),
+        words AS (
+            SELECT pos // 63 AS word_idx,
+                   BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER))
+                       AS word
+            FROM cpos GROUP BY pos // 63
+        ),
+        ppos AS (
+            SELECT doc_id,
+                   ({h1} + t.j * {h2}) % {m_bits} AS pos
+            FROM probe CROSS JOIN range(0, {k}) AS t(j)
+        ),
+        memb AS (
+            SELECT p.doc_id,
+                   BOOL_AND(((COALESCE(w.word, CAST(0 AS BIGINT))
+                              >> CAST(p.pos % 63 AS INTEGER)) & 1) = 1)
+                       AS maybe_member
+            FROM ppos p
+            LEFT JOIN words w ON w.word_idx = p.pos // 63
+            GROUP BY p.doc_id
+        ),
+        actual AS (
+            SELECT p.doc_id,
+                   (c.text IS NOT NULL) AS actual_dup
+            FROM probe p
+            LEFT JOIN (SELECT DISTINCT text FROM corpus) c
+              ON p.text = c.text
+        )
+        SELECT m.doc_id, m.maybe_member, a.actual_dup
+        FROM memb m JOIN actual a ON m.doc_id = a.doc_id
+    """

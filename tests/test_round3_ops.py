@@ -222,3 +222,42 @@ def test_stratified_sample_exact_k_and_partition_invariant(spark):
         ).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_planted_dups(spark):
+    from dqmtools_spark.operators.bloom import bloom_build, bloom_probe
+
+    corpus = spark.createDataFrame(
+        [(f"doc text {i}",) for i in range(300)], ["text"]
+    )
+    # 40 planted exact dups + 60 novel probes
+    probe = spark.createDataFrame(
+        [(i, f"doc text {i}") for i in range(40)]
+        + [(100 + i, f"novel {i}") for i in range(60)],
+        ["pid", "text"],
+    )
+    words = bloom_build(corpus, "text", m_bits=1 << 14, k=5)
+    out = {
+        r["pid"]: r["maybe_member"]
+        for r in bloom_probe(
+            probe, words, "text", "pid", m_bits=1 << 14, k=5
+        ).collect()
+    }
+    assert all(out[i] for i in range(40)), "false negative: law violated"
+    # m=16384, n=300, k=5 -> fp ~ (1-e^-0.09)^5 ~ 5e-6: novels stay out
+    fps = sum(out[100 + i] for i in range(60))
+    assert fps == 0, f"unexpected false positives at this sizing: {fps}"
+
+
+def test_bloom_word_table_is_bounded(spark):
+    from dqmtools_spark.operators.bloom import bloom_build
+
+    corpus = spark.createDataFrame([(f"t{i}",) for i in range(500)], ["text"])
+    words = bloom_build(corpus, "text", m_bits=1024, k=5).collect()
+    assert len(words) <= 1024 // 63 + 1
+    assert all(r["word"] >= 0 for r in words)  # sign bit never touched
