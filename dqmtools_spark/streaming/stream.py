@@ -115,6 +115,39 @@ def windowed_keep_counts(
     )
 
 
+def session_metrics(
+    pages_stream: DataFrame,
+    key: str = "lang",
+    ts_col: str = "warc_ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based SESSION windows over a stream, via Spark's native
+    ``session_window`` — the streaming twin of
+    ``operators/sessions.sessionize`` (same inactivity-gap semantics;
+    the batch operator numbers sessions with a lag+running-sum window,
+    the stream merges them incrementally in state).
+
+    State is bounded by the watermark: a session finalizes once event
+    time passes ``watermark`` beyond its close, so an unbounded stream
+    holds only the open sessions.  ``sess_start`` equals the session's
+    first event time; ``sess_end`` is last event + gap (Spark's
+    closed-session convention).  Works on a batch frame too (used by
+    the test to cross-check the two implementations).
+    """
+    return (
+        pages_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            key,
+            "n_events",
+        )
+    )
+
+
 # ------------------------------------- custom stateful op (dedup-first)
 
 _DEDUP_OUT_SCHEMA = T.StructType(

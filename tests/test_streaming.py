@@ -144,3 +144,61 @@ def test_streaming_first_occurrence_dedups_across_batches(spark, tmp_path):
     run_once()
     got2 = {r["url"] for r in spark.read.parquet(out).collect()}
     assert got2 == {"a1", "b1", "c1"}, "cross-batch duplicate must be dropped"
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
+    """Native session_window on a stream == the batch lag+running-sum
+    sessionizer (operators/sessions.py) on the same data: same session
+    boundaries (no gap hits the exact threshold here — the two
+    implementations use >= vs > at the boundary), same per-session
+    event counts, sess_start == the session's first event."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dqmtools_spark.operators.sessions import sessionize
+    from dqmtools_spark.streaming.stream import session_metrics
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # two keys; bursts separated by > 30min gaps
+    for k, offsets in {
+        "en": [0, 5, 9, 50, 52, 120],
+        "de": [0, 40, 41, 44, 200],
+    }.items():
+        for i, off in enumerate(offsets):
+            rows.append((f"u{k}{i}", base + dt.timedelta(minutes=off), k))
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, lang string")
+    inp = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(inp)
+
+    q = (
+        session_metrics(
+            spark.readStream.schema(df.schema).parquet(inp),
+            gap="30 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("sessmet")
+        # complete mode: the backlog ends before the watermark passes
+        # the final open sessions, so append would withhold them
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["lang"], r["sess_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sessmet").collect()
+    }
+
+    batch = (
+        sessionize(df, "lang", "warc_ts", gap_minutes=30, tiebreak="url")
+        .groupBy("lang", "session_seq")
+        .agg(
+            F.min("warc_ts").alias("start"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    want = {(r["lang"], r["start"]): r["n_events"] for r in batch.collect()}
+    assert got == want and len(want) == 3 + 3  # en: 3 sessions, de: 3
