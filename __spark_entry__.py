@@ -966,6 +966,34 @@ def q_group_quantiles(spark, sf):
     )
 
 
+def q_inverted_index(spark, sf):
+    """Search-index build primitive: bigram -> sorted posting list of
+    the documents containing it (distinct grams per doc, so df ==
+    posting length), common-gram cutoff df >= 5.  ONE exchange on the
+    gram after a map-side-combinable partial aggregate; postings are
+    emitted as a CSV string (the repo's no-array-output oracle
+    precedent — engines disagree on array rendering, not content).
+    At corpus scale a stop-gram's posting row grows O(docs):
+    production indexes cap or range-bucket postings per gram (a
+    (gram, shard) two-level key, same pattern as operators/sharding);
+    the single-row form here is the oracle-able core."""
+    from dqmtools_spark.operators.dedup import word_shingles
+
+    d = _t(spark, sf, "documents")
+    grams = word_shingles(F.col("text"), 2, strict=True, distinct=True)
+    ex = d.select("doc_id", F.explode(grams).alias("gram"))
+    return (
+        ex.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
 def q_doc_top_bigram(spark, sf):
     """Gopher repetition signal: per-document most-common word bigram
     and the character fraction it covers, aggregated per source (avg
@@ -1207,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "bloom_dedup": q_bloom_dedup,
         "group_quantiles": q_group_quantiles,
+        "inverted_index": q_inverted_index,
         "pricing_summary": q_pricing_summary,
         "filter_compound": q_filter_compound,
         "filter_sql_string": q_filter_sql_string,
@@ -1332,6 +1361,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_canon_dedup": _url_canon_oracle_sql(),
         "bloom_dedup": oracles.bloom_dedup_sql(m_bits=1024, k=5, split_id=50),
+        "inverted_index": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       REGEXP_EXTRACT_ALL(TRIM(text), '\S+') AS words
+                FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+                SELECT doc_id,
+                       LIST_DISTINCT(LIST_TRANSFORM(
+                           GENERATE_SERIES(1, LEN(words) - 1),
+                           i -> ARRAY_TO_STRING(words[i:i + 1], ' ')))
+                           AS grams
+                FROM w
+            ),
+            ex AS (SELECT doc_id, UNNEST(grams) AS gram FROM g)
+            SELECT gram, COUNT(*) AS df,
+                   ARRAY_TO_STRING(LIST(doc_id ORDER BY doc_id), ',')
+                       AS postings
+            FROM ex GROUP BY gram HAVING COUNT(*) >= 5
+        """,
         "group_quantiles": """
             SELECT l_returnflag,
                    quantile_cont(l_quantity, 0.25) AS q1,
