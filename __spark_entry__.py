@@ -994,6 +994,26 @@ def q_inverted_index(spark, sf):
     )
 
 
+def q_fuzzy_prefix_pairs(spark, sf):
+    """Blocked fuzzy matching: same-first-word documents whose 40-char
+    prefixes are within edit distance 18 — exact integer Levenshtein,
+    candidates confined to first-token blocks (the LSH-tier
+    discipline: equi-join on the block, never cartesian; Spark's
+    thresholded levenshtein prunes the DP, DuckDB's plain one is the
+    independent implementation)."""
+    from dqmtools_spark.operators.fuzzy import blocked_levenshtein_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    words = F.split(F.col("text"), " ")
+    return blocked_levenshtein_pairs(
+        d,
+        key=F.substring(F.col("text"), 1, 40),
+        block=words.getItem(0),
+        id_col="doc_id",
+        max_dist=18,
+    )
+
+
 def q_doc_top_bigram(spark, sf):
     """Gopher repetition signal: per-document most-common word bigram
     and the character fraction it covers, aggregated per source (avg
@@ -1236,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "group_quantiles": q_group_quantiles,
         "inverted_index": q_inverted_index,
+        "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
         "pricing_summary": q_pricing_summary,
         "filter_compound": q_filter_compound,
         "filter_sql_string": q_filter_sql_string,
@@ -1361,6 +1382,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_canon_dedup": _url_canon_oracle_sql(),
         "bloom_dedup": oracles.bloom_dedup_sql(m_bits=1024, k=5, split_id=50),
+        "fuzzy_prefix_pairs": """
+            WITH p AS (
+                SELECT doc_id,
+                       SUBSTRING(text, 1, 40) AS pre,
+                       STRING_SPLIT(text, ' ')[1] AS blk
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.pre, b.pre) AS INTEGER) AS dist
+            FROM p a JOIN p b
+              ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.pre, b.pre) <= 18
+        """,
         "inverted_index": r"""
             WITH w AS (
                 SELECT doc_id,

@@ -89,6 +89,10 @@ def test_round3_ops_plan_shapes(spark, sf_dir):
             assert audit["sort_merge_joins"] == 0
             plan = explain_str(qs[name](spark, sf_dir))
             assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # blocked fuzzy join: candidates come from a block EQUI-join (the
+    # id/dist predicates ride it as join filters), never a cartesian
+    fuzzy = explain_str(qs["fuzzy_prefix_pairs"](spark, sf_dir))
+    assert "Cartesian" not in fuzzy and "BroadcastNestedLoop" not in fuzzy
 
 
 def test_salted_agg_two_exchanges_max(spark, sf_dir):

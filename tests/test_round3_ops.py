@@ -261,3 +261,89 @@ def test_bloom_word_table_is_bounded(spark):
     words = bloom_build(corpus, "text", m_bits=1024, k=5).collect()
     assert len(words) <= 1024 // 63 + 1
     assert all(r["word"] >= 0 for r in words)  # sign bit never touched
+
+
+def test_canonical_url_cross_engine_fuzz(spark):
+    """400 generated messy URLs through BOTH renderings — the Spark
+    Column chain and the DuckDB RE2 SQL — must agree byte-for-byte.
+    This is the guard behind the url_canon_dedup oracle: the two regex
+    engines share the pattern subset by construction, and this fuzz
+    covers orderings/combinations the hand-picked cases don't."""
+    import duckdb
+
+    from dqmtools_spark.functions.urls import canonical_url_sql
+
+    rng = random.Random(1234)
+    schemes = ["http://", "https://", "HTTP://", "HtTpS://"]
+    hosts = ["Site.com", "a.example.ORG", "x-y.net", "WWW.deep.sub.io"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a", "/A/b/", "/p/1/2", "/Path.html"]
+    tracking = ["utm_source=x", "utm_ab12=Q", "fbclid=zZ9", "gclid=1"]
+    normal = ["id=3", "q=Hello", "page=2", "A=B"]
+    frags = ["", "#frag", "#Sec.2"]
+    urls = []
+    for _ in range(400):
+        ps = rng.sample(tracking, rng.randrange(3)) + rng.sample(
+            normal, rng.randrange(3)
+        )
+        rng.shuffle(ps)
+        q = ("?" + "&".join(ps)) if ps else ""
+        u = (
+            rng.choice(["", " ", "  "])
+            + rng.choice(schemes)
+            + ("www." if rng.random() < 0.3 else "")
+            + rng.choice(hosts)
+            + rng.choice(ports)
+            + rng.choice(paths)
+            + q
+            + rng.choice(frags)
+            + rng.choice(["", " "])
+        )
+        urls.append(u)
+
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    got = [r[0] for r in df.select(canonical_url("u")).collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INTEGER, u VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(urls))
+    )
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {canonical_url_sql('u')} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    mismatches = [
+        (u, g, w) for u, g, w in zip(urls, got, want) if g != w
+    ]
+    assert not mismatches, mismatches[:5]
+
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy matching
+# ---------------------------------------------------------------------------
+
+
+def test_blocked_levenshtein_planted_typos(spark):
+    from dqmtools_spark.operators.fuzzy import blocked_levenshtein_pairs
+
+    rows = [
+        (1, "alpha the quick brown fox"),
+        (2, "alpha the quick brwon fox"),   # transposition: dist 2
+        (3, "alpha a completely different thing"),
+        (4, "beta the quick brown fox"),    # other block: never compared
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "title"])
+    out = blocked_levenshtein_pairs(
+        df,
+        key=F.col("title"),
+        block=F.split(F.col("title"), " ").getItem(0),
+        id_col="id",
+        max_dist=3,
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in out] == [(1, 2, 2)]
+    # cross-block identical suffix (1 vs 4) must NOT pair: blocking is
+    # a recall tradeoff by design, documented in the module
