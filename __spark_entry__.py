@@ -772,15 +772,12 @@ def q_doc_global_line_dedup(spark, sf):
     same deterministic multi-line form (4-word chunks; ~430 cross-doc
     duplicate lines exist at sf0.01).  Byte-level md5 differential of
     each reassembled document."""
-    from dqmtools_spark.operators.dedup import global_line_dedup
+    from dqmtools_spark.operators.dedup import global_line_dedup, word_chunks
 
     d = _t(spark, sf, "documents")
-    ws = F.split(F.col("text"), " ")
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.size(ws), F.lit(4)),
-        lambda i: F.concat_ws(" ", F.slice(ws, i, F.lit(4))),
+    pages = d.select(
+        "doc_id", F.array_join(word_chunks(F.col("text")), "\n").alias("text")
     )
-    pages = d.select("doc_id", F.array_join(chunks, "\n").alias("text"))
     out = global_line_dedup(pages, "text", "doc_id")
     return out.select("doc_id", "n_kept", F.md5("deduped_text").alias("dedup_md5"))
 
@@ -904,16 +901,14 @@ def q_doc_dup_line_fraction(spark, sf):
     deterministic 4-word-chunk line form as doc_global_line_dedup:
     multiplicity counts + exact-single-division fractions, two
     map-side-combinable aggregates (no per-doc sort)."""
+    from dqmtools_spark.operators.dedup import word_chunks
     from dqmtools_spark.operators.repetition import dup_line_stats
 
     d = _t(spark, sf, "documents")
-    ws = F.split(F.col("text"), " ")
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.size(ws), F.lit(4)),
-        lambda i: F.concat_ws(" ", F.slice(ws, i, F.lit(4))),
-    )
     return dup_line_stats(
-        d.select("doc_id", chunks.alias("_chunks")), F.col("_chunks"), "doc_id"
+        d.select("doc_id", word_chunks(F.col("text")).alias("_chunks")),
+        F.col("_chunks"),
+        "doc_id",
     )
 
 
@@ -1000,10 +995,15 @@ def q_fuzzy_prefix_pairs(spark, sf):
     candidates confined to first-token blocks (the LSH-tier
     discipline: equi-join on the block, never cartesian; Spark's
     thresholded levenshtein prunes the DP, DuckDB's plain one is the
-    independent implementation)."""
+    independent implementation).  Keys are restricted to ASCII
+    prefixes on both sides: Spark edits codepoints, DuckDB bytes, and
+    the two agree exactly on ASCII (see operators/fuzzy.py)."""
     from dqmtools_spark.operators.fuzzy import blocked_levenshtein_pairs
 
-    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    d = _t(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+        & F.substring(F.col("text"), 1, 40).rlike(r"^\p{ASCII}*$")
+    )
     words = F.split(F.col("text"), " ")
     return blocked_levenshtein_pairs(
         d,
@@ -1387,7 +1387,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        SUBSTRING(text, 1, 40) AS pre,
                        STRING_SPLIT(text, ' ')[1] AS blk
-                FROM documents WHERE text IS NOT NULL
+                FROM documents
+                WHERE text IS NOT NULL
+                  AND regexp_matches(SUBSTRING(text, 1, 40),
+                                     '^[[:ascii:]]*$')
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(levenshtein(a.pre, b.pre) AS INTEGER) AS dist
@@ -1424,13 +1427,9 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag
         """,
-        "doc_dup_line_fraction": """
+        "doc_dup_line_fraction": f"""
             WITH d AS (
-                SELECT doc_id,
-                       LIST_TRANSFORM(
-                           RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1, 4),
-                           i -> ARRAY_TO_STRING(
-                               STRING_SPLIT(text, ' ')[i:i+3], ' ')) AS chunks
+                SELECT doc_id, {oracles.word_chunks_sql('text')} AS chunks
                 FROM documents WHERE text IS NOT NULL
             ),
             l AS (

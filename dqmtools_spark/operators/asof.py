@@ -49,6 +49,13 @@ def asof_join(
     Returns all ``left`` columns plus each ``right`` column (the key
     column excluded) renamed ``{payload_prefix}{name}``.  ``right``
     must be unique per (on, right_ts) — see module docstring.
+
+    NULL timestamps: a NULL ``right_ts`` row can never satisfy
+    ``right_ts <= left_ts`` and is dropped from the match side; a NULL
+    ``left_ts`` row is kept but matches nothing (it sorts before every
+    real timestamp, where no right row precedes it).  Both agree with
+    DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts`` (NULL comparison ->
+    no match) and pandas ``merge_asof``.
     """
     left_cols = left.columns
     pay_cols = [c for c in right.columns if c != on]
@@ -63,7 +70,7 @@ def asof_join(
         F.lit(None).cast(payload_type).alias("_p"),
     )
     l_struct_type = l_side.schema["_l"].dataType
-    r_side = right.select(
+    r_side = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
@@ -73,9 +80,15 @@ def asof_join(
 
     w = (
         Window.partitionBy("_k")
+        # nulls-first pins NULL-left_ts rows at the partition head,
+        # where no (non-null, filtered-above) right row precedes them;
         # third key makes equal-(ts, side) right rows deterministic if a
         # caller ignores the uniqueness contract: highest payload wins
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_p").asc_nulls_first())
+        .orderBy(
+            F.col("_ts").asc_nulls_first(),
+            F.col("_side").asc(),
+            F.col("_p").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

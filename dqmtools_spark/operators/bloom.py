@@ -30,7 +30,7 @@ from dqmtools_spark.functions.hashing import md5_hash60
 WORD_BITS = 63  # avoid the int64 sign bit in every engine
 
 
-def _positions(key: Column, m_bits: int, k: int) -> DataFrame | Column:
+def _positions(key: Column, m_bits: int, k: int) -> Column:
     """Explodable array of the k bit positions of ``key``."""
     if not 0 < k <= 7:
         raise ValueError("k must be in 1..7 to keep h1 + j*h2 < 2^63")

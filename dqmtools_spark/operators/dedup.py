@@ -703,6 +703,20 @@ def simhash_pairs(
 # ------------------------------------------ corpus-global line dedup
 
 
+def word_chunks(text: F.Column, chunk: int = 4) -> F.Column:
+    """Deterministic ``chunk``-word 'lines' (array<string>) for
+    single-line corpora — the shared line-derivation used by BOTH the
+    corpus-global line dedup and the duplicate-line-fraction queries
+    (and mirrored SQL-side by ``oracles.word_chunks_sql``): keeping it
+    in one place is what makes their 'same line form' docstring claims
+    structurally true rather than copy-paste-true."""
+    ws = F.split(text, " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(ws), F.lit(chunk)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, F.lit(chunk))),
+    )
+
+
 def global_line_dedup(
     df: DataFrame, text_col: str, id_col: str, min_chars: int = 1
 ) -> DataFrame:

@@ -12,9 +12,14 @@ bucket size; the join is an equi-join on the block, never cartesian).
 
 Spark's ``levenshtein(l, r, threshold)`` form prunes the DP early
 (returns -1 past the threshold), so the per-pair cost is
-O(threshold · L) rather than O(L^2).  Distances are integers —
-engine-exact, so the DuckDB oracle (plain ``levenshtein`` + filter)
-replays the operator bit-for-bit.
+O(threshold · L) rather than O(L^2).  Distances are integers, BUT the
+unit differs across engines: Spark edits CODEPOINTS while DuckDB's
+``levenshtein`` edits BYTES, so they agree only on ASCII keys.  The
+operator itself is codepoint-correct for any input; the oracle-paired
+query (``q_fuzzy_prefix_pairs``) therefore restricts its keys to
+ASCII on BOTH sides (``\\p{ASCII}`` / ``[[:ascii:]]`` guards) — on
+non-ASCII corpora use the operator directly and validate with a
+same-engine reference instead.
 """
 
 from __future__ import annotations

@@ -295,12 +295,8 @@ def global_line_dedup_sql(chunk: int = 4, min_chars: int = 1) -> str:
     return f"""
         WITH d AS (
             SELECT doc_id,
-                   ARRAY_TO_STRING(
-                       LIST_TRANSFORM(
-                           RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1, {chunk}),
-                           i -> ARRAY_TO_STRING(
-                               STRING_SPLIT(text, ' ')[i:i+{chunk - 1}], ' ')),
-                       CHR(10)) AS t
+                   ARRAY_TO_STRING({word_chunks_sql('text', chunk)},
+                                   CHR(10)) AS t
             FROM documents
         ),
         l AS (
@@ -652,3 +648,14 @@ def bloom_dedup_sql(m_bits: int, k: int, split_id: int) -> str:
         SELECT m.doc_id, m.maybe_member, a.actual_dup
         FROM memb m JOIN actual a ON m.doc_id = a.doc_id
     """
+
+
+def word_chunks_sql(expr: str, chunk: int = 4) -> str:
+    """DuckDB twin of ``operators/dedup.word_chunks`` — the shared
+    chunk-word line derivation used by the global-line-dedup and
+    dup-line-fraction oracles."""
+    return (
+        f"LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT({expr}, ' ')) + 1, "
+        f"{chunk}), i -> ARRAY_TO_STRING("
+        f"STRING_SPLIT({expr}, ' ')[i:i + {chunk - 1}], ' '))"
+    )

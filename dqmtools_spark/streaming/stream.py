@@ -124,9 +124,13 @@ def session_metrics(
 ) -> DataFrame:
     """Gap-based SESSION windows over a stream, via Spark's native
     ``session_window`` — the streaming twin of
-    ``operators/sessions.sessionize`` (same inactivity-gap semantics;
-    the batch operator numbers sessions with a lag+running-sum window,
-    the stream merges them incrementally in state).
+    ``operators/sessions.sessionize`` (the batch operator numbers
+    sessions with a lag+running-sum window, the stream merges them
+    incrementally in state).  One boundary difference: a gap of
+    EXACTLY the threshold splits here (session_window's window end is
+    exclusive at prev+gap) but does NOT split in the batch operator
+    (strict ``>``); away from that measure-zero boundary the two
+    produce identical sessions (pinned by test_streaming).
 
     State is bounded by the watermark: a session finalizes once event
     time passes ``watermark`` beyond its close, so an unbounded stream

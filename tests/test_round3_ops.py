@@ -153,6 +153,14 @@ URL_CASES = [
     ("https://site.com", "https://site.com"),
     # path/query case preserved, host lowered
     ("HtTp://ExAmPle.org/Path?Q=UPPER", "http://example.org/Path?Q=UPPER"),
+    # authority rewrites are HEAD-anchored: path/query content survives
+    ("https://site.com/a:80/b", "https://site.com/a:80/b"),
+    ("https://site.com/r?next=http://y.com:80/z",
+     "https://site.com/r?next=http://y.com:80/z"),
+    ("https://site.com/r?u=x://www.q.com", "https://site.com/r?u=x://www.q.com"),
+    # literal '?' inside a value: syntactic rewrite hits BOTH (engines
+    # must agree — DuckDB needs the 'g' flag here)
+    ("https://s.com/p?utm_a=1&x=a?utm_b=2&c=3", "https://s.com/p?x=a?c=3"),
 ]
 
 
@@ -277,9 +285,10 @@ def test_canonical_url_cross_engine_fuzz(spark):
     schemes = ["http://", "https://", "HTTP://", "HtTpS://"]
     hosts = ["Site.com", "a.example.ORG", "x-y.net", "WWW.deep.sub.io"]
     ports = ["", ":80", ":443", ":8080"]
-    paths = ["", "/", "/a", "/A/b/", "/p/1/2", "/Path.html"]
+    paths = ["", "/", "/a", "/A/b/", "/p/1/2", "/Path.html", "/a:80/b", "/x:443"]
     tracking = ["utm_source=x", "utm_ab12=Q", "fbclid=zZ9", "gclid=1"]
-    normal = ["id=3", "q=Hello", "page=2", "A=B"]
+    normal = ["id=3", "q=Hello", "page=2", "A=B",
+              "next=http://y.com:80/z", "v=a?utm_k=9", "u=x://www.q.com"]
     frags = ["", "#frag", "#Sec.2"]
     urls = []
     for _ in range(400):
@@ -347,3 +356,32 @@ def test_blocked_levenshtein_planted_typos(spark):
     assert [(r["id_a"], r["id_b"], r["dist"]) for r in out] == [(1, 2, 2)]
     # cross-block identical suffix (1 vs 4) must NOT pair: blocking is
     # a recall tradeoff by design, documented in the module
+
+
+def test_asof_join_null_timestamps(spark):
+    """NULL right_ts never matches; NULL left_ts matches nothing —
+    same as DuckDB ASOF (NULL comparison) and pandas merge_asof."""
+    import pyspark.sql.types as T
+
+    lschema = T.StructType([
+        T.StructField("lid", T.LongType()),
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    rschema = T.StructType([
+        T.StructField("rid", T.LongType()),
+        T.StructField("k", T.LongType()),
+        T.StructField("rts", T.TimestampType()),
+    ])
+    ldf = spark.createDataFrame(
+        [(1, 1, _ts(10)), (2, 1, None)], schema=lschema
+    )
+    rdf = spark.createDataFrame(
+        [(100, 1, None), (101, 1, _ts(5))], schema=rschema
+    )
+    out = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="rts")
+        .collect()
+    }
+    assert out == {1: 101, 2: None}  # NULL-ts right row (rid=100) ignored
