@@ -1014,6 +1014,31 @@ def q_fuzzy_prefix_pairs(spark, sf):
     )
 
 
+def q_cms_user_counts(spark, sf):
+    """Count-min sketch frequency estimation (heavy-hitter primitive):
+    a deliberately tight 64x4 sketch over all events, estimates joined
+    against the exact per-user counts — `over_by` exposes the
+    collision overestimate, and the sketch's never-undercount law is
+    checkable row-by-row in the differential itself.  Build shuffles
+    at most d·w counter rows regardless of input size."""
+    from dqmtools_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = _t(spark, sf, "events")
+    keyexpr = F.col("user_id").cast("string")
+    sketch = cms_build(ev, keyexpr, width=64, depth=4)
+    keys = ev.select(keyexpr.alias("ukey")).distinct()
+    est = cms_estimate(keys, sketch, "ukey", width=64, depth=4)
+    exact = ev.groupBy(keyexpr.alias("ukey")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    return est.join(exact, "ukey").select(
+        F.col("ukey").cast("long").alias("user_id"),
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("over_by"),
+    )
+
+
 def q_doc_top_bigram(spark, sf):
     """Gopher repetition signal: per-document most-common word bigram
     and the character fraction it covers, aggregated per source (avg
@@ -1257,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": q_group_quantiles,
         "inverted_index": q_inverted_index,
         "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
+        "cms_user_counts": q_cms_user_counts,
         "pricing_summary": q_pricing_summary,
         "filter_compound": q_filter_compound,
         "filter_sql_string": q_filter_sql_string,
@@ -1382,6 +1408,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_canon_dedup": _url_canon_oracle_sql(),
         "bloom_dedup": oracles.bloom_dedup_sql(m_bits=1024, k=5, split_id=50),
+        "cms_user_counts": oracles.cms_user_counts_sql(width=64, depth=4),
         "fuzzy_prefix_pairs": """
             WITH p AS (
                 SELECT doc_id,

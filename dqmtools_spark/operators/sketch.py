@@ -1,0 +1,90 @@
+"""Count-min sketch: approximate per-key frequencies in sublinear
+space — the heavy-hitter primitive behind hot-URL / hot-domain
+detection at corpus scale (the skew diagnostics in ``operators/
+skew.py`` decide WHERE to salt; a sketch is how you find the heavy
+keys without a full exact count of 10^9 distinct keys).
+
+Structure: d rows x w counters.  Every key increments one counter per
+row, chosen by an independent Carter-Wegman hash
+``((a_j * h + b_j) mod P31) mod w`` over the key's portable md5-60bit
+(``functions/hashing.py`` — a, h < 2^31 so products stay exact in
+int64 in every engine).  The estimate is the MIN over the d counters,
+which can only OVER-estimate (collisions add, never subtract):
+``exact <= est <= exact + eps·N`` with eps ~ e/w at confidence
+1 - e^-d.  Published data structure (Cormode & Muthukrishnan 2005).
+
+Scale shape: the build is explode(d) -> ONE map-side-combinable count
+aggregate shuffling at most d·w rows (the sketch, a few KB),
+regardless of input size; estimation broadcast-joins the sketch.
+Merging shards/streams is counter-wise addition — the same groupBy —
+so the sketch composes with incremental ingestion for free.  All
+decisions are integer, so a DuckDB oracle replays build and estimate
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from dqmtools_spark.functions.hashing import (
+    P31,
+    md5_hash60,
+    universal_hash_consts,
+)
+
+
+def _rows_positions(key: Column, width: int, depth: int) -> Column:
+    """array of (row j, position) structs for ``key``."""
+    h = md5_hash60(key) % F.lit(P31)
+    consts = universal_hash_consts(depth, tag="cms")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                ((F.lit(a) * h + F.lit(b)) % F.lit(P31) % F.lit(width)).alias(
+                    "pos"
+                ),
+            )
+            for j, (a, b) in enumerate(consts)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame, key: Column | str, width: int = 2048, depth: int = 4
+) -> DataFrame:
+    """Build the sketch: (j, pos, counter) rows, at most d·w of them."""
+    key = F.col(key) if isinstance(key, str) else key
+    ex = df.select(
+        F.explode(_rows_positions(key, width, depth)).alias("_rp")
+    )
+    return (
+        ex.select(F.col("_rp.j").alias("j"), F.col("_rp.pos").alias("pos"))
+        .groupBy("j", "pos")
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    sketch: DataFrame,
+    key: Column | str,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Attach ``cms_est`` (the min-counter estimate) to every row of
+    ``keys``.  A key absent from the build still gets its collision
+    mass (possibly 0 via the missing-counter coalesce) — the sketch
+    never under-counts."""
+    kc = F.col(key) if isinstance(key, str) else key
+    ex = keys.select(
+        kc.alias("_key"), F.explode(_rows_positions(kc, width, depth)).alias("_rp")
+    ).select("_key", F.col("_rp.j").alias("j"), F.col("_rp.pos").alias("pos"))
+    j = ex.join(broadcast(sketch), ["j", "pos"], "left")
+    return (
+        j.groupBy("_key")
+        .agg(F.min(F.coalesce(F.col("counter"), F.lit(0))).alias("cms_est"))
+        .withColumnRenamed("_key", key if isinstance(key, str) else "key")
+    )

@@ -659,3 +659,47 @@ def word_chunks_sql(expr: str, chunk: int = 4) -> str:
         f"{chunk}), i -> ARRAY_TO_STRING("
         f"STRING_SPLIT({expr}, ' ')[i:i + {chunk - 1}], ' '))"
     )
+
+
+def cms_user_counts_sql(width: int, depth: int) -> str:
+    """Oracle for the count-min sketch query: replays build (explode d
+    Carter-Wegman rows -> counter counts) and estimate (min over the d
+    counters) with the exact same integer hash literals as the Spark
+    plan, joined against the exact counts."""
+    from dqmtools_spark.functions.hashing import (
+        P31,
+        md5_hash60_sql,
+        universal_hash_consts,
+    )
+
+    consts = universal_hash_consts(depth, tag="cms")
+    pos_case = "CASE t.j " + " ".join(
+        f"WHEN {j} THEN (({a} * h.h + {b}) % {P31}) % {width}"
+        for j, (a, b) in enumerate(consts)
+    ) + " END"
+    h_expr = md5_hash60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH h AS (
+            SELECT user_id, {h_expr} % {P31} AS h FROM events
+        ),
+        pos AS (
+            SELECT h.user_id, t.j, {pos_case} AS pos
+            FROM h CROSS JOIN range(0, {depth}) AS t(j)
+        ),
+        sk AS (
+            SELECT j, pos, COUNT(*) AS counter FROM pos GROUP BY j, pos
+        ),
+        dk AS (SELECT DISTINCT user_id, j, pos FROM pos),
+        est AS (
+            SELECT dk.user_id,
+                   MIN(COALESCE(sk.counter, 0)) AS cms_est
+            FROM dk LEFT JOIN sk ON dk.j = sk.j AND dk.pos = sk.pos
+            GROUP BY dk.user_id
+        ),
+        exact AS (
+            SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+        )
+        SELECT e.user_id, x.exact_n, e.cms_est,
+               e.cms_est - x.exact_n AS over_by
+        FROM est e JOIN exact x ON e.user_id = x.user_id
+    """

@@ -385,3 +385,40 @@ def test_asof_join_null_timestamps(spark):
         .collect()
     }
     assert out == {1: 101, 2: None}  # NULL-ts right row (rid=100) ignored
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_exact_when_wide(spark):
+    from dqmtools_spark.operators.sketch import cms_build, cms_estimate
+
+    rng = random.Random(3)
+    rows = [(f"k{rng.randrange(50)}",) for _ in range(2000)]
+    df = spark.createDataFrame(rows, ["k"])
+    exact = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    keys = df.distinct()
+    # tight sketch: may overestimate, must NEVER undercount
+    sk = cms_build(df, "k", width=32, depth=4)
+    est = {
+        r["k"]: r["cms_est"]
+        for r in cms_estimate(keys, sk, "k", width=32, depth=4).collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)
+    # wide sketch: 50 keys in 4x4096 counters -> collisions across all
+    # 4 rows are (50/4096)^4-improbable; estimates are exact
+    skw = cms_build(df, "k", width=4096, depth=4)
+    estw = {
+        r["k"]: r["cms_est"]
+        for r in cms_estimate(keys, skw, "k", width=4096, depth=4).collect()
+    }
+    assert estw == exact
+    # unseen key -> 0 (or collision mass), never negative
+    probe = spark.createDataFrame([("never-seen",)], ["k"])
+    v = cms_estimate(probe, skw, "k", width=4096, depth=4).collect()[0]
+    assert v["cms_est"] >= 0
