@@ -1039,6 +1039,23 @@ def q_cms_user_counts(spark, sf):
     )
 
 
+def q_hll_distinct(spark, sf):
+    """HyperLogLog distinct-count estimation (m=32) next to the exact
+    countDistinct — registers and ranks are pure integer math and the
+    harmonic sum is an exact dyadic integer, so the DuckDB oracle
+    replays the sketch bit-for-bit; the raw-estimator bias at small
+    cardinality is visible (and identical) on both sides."""
+    from dqmtools_spark.operators.sketch import hll_estimate, hll_registers
+
+    ev = _t(spark, sf, "events")
+    regs = hll_registers(ev, F.col("user_id").cast("string"), m=32)
+    est = hll_estimate(regs, m=32)
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_n"))
+    return est.crossJoin(exact).select(
+        "exact_n", F.round("hll_raw", 2).alias("hll_est")
+    )
+
+
 def q_doc_top_bigram(spark, sf):
     """Gopher repetition signal: per-document most-common word bigram
     and the character fraction it covers, aggregated per source (avg
@@ -1283,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
         "cms_user_counts": q_cms_user_counts,
+        "hll_distinct": q_hll_distinct,
         "pricing_summary": q_pricing_summary,
         "filter_compound": q_filter_compound,
         "filter_sql_string": q_filter_sql_string,
@@ -1409,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canon_dedup": _url_canon_oracle_sql(),
         "bloom_dedup": oracles.bloom_dedup_sql(m_bits=1024, k=5, split_id=50),
         "cms_user_counts": oracles.cms_user_counts_sql(width=64, depth=4),
+        "hll_distinct": oracles.hll_users_sql(m=32),
         "fuzzy_prefix_pairs": """
             WITH p AS (
                 SELECT doc_id,

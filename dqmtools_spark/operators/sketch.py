@@ -88,3 +88,74 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("counter"), F.lit(0))).alias("cms_est"))
         .withColumnRenamed("_key", key if isinstance(key, str) else "key")
     )
+
+
+# ------------------------------------------------------------ HyperLogLog
+
+HLL_FIELD_BITS = 55  # md5-60bit minus 5 register-index bits (m = 32)
+
+
+def hll_registers(
+    df: DataFrame, key: Column | str, m: int = 32
+) -> DataFrame:
+    """HyperLogLog register table: (register, max_rank), at most m
+    rows (Flajolet et al. 2007).
+
+    Register index = low log2(m) bits of the portable md5-60bit hash;
+    rank = leading-zero count of the remaining 55-bit field + 1,
+    computed EXACTLY via the binary-string length (``bin(w)`` has no
+    leading zeros in Spark and DuckDB alike — no float log2 anywhere),
+    capped at 55 so the oracle's dyadic arithmetic stays in int64.
+    The build is one map-side-combinable MAX aggregate shuffling at
+    most m rows; merging shards is register-wise MAX (same aggregate).
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    h = md5_hash60(key)
+    w = F.expr(f"h DIV {m}")
+    rank = F.least(
+        F.when(w == 0, F.lit(HLL_FIELD_BITS + 1)).otherwise(
+            F.lit(HLL_FIELD_BITS + 1) - F.length(F.bin(w))
+        ),
+        F.lit(HLL_FIELD_BITS),
+    )
+    return (
+        df.select(h.alias("h"))
+        .select((F.col("h") % m).alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int = 32) -> DataFrame:
+    """Raw HLL cardinality estimate from the register table.
+
+    The harmonic sum is computed as an EXACT integer,
+    ``sum(2^(55 - max_rank))`` plus ``2^55`` per never-touched
+    register (every term is a dyadic integer because ranks are capped
+    at 55), so the only float in the pipeline is one fixed-shape
+    division — bit-reproducible in any engine.  Raw estimator only
+    (alpha_32·m²/harmonic-sum): the standard small/large-range
+    corrections use ``ln``, whose last-ulp behavior is libm-specific,
+    so they are deliberately left to callers that don't need
+    cross-engine exactness.  Bias at cardinalities << m² is the
+    documented HLL raw-estimator bias.
+    """
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    return registers.agg(
+        (
+            F.lit(alpha * m * m)
+            / (
+                (
+                    F.sum(
+                        F.expr(
+                            f"shiftleft(CAST(1 AS BIGINT),"
+                            f" CAST({HLL_FIELD_BITS} - max_rank AS INT))"
+                        )
+                    )
+                    + (F.lit(m) - F.count(F.lit(1)))
+                    * F.lit(1 << HLL_FIELD_BITS)
+                ).cast("double")
+                / F.lit(float(1 << HLL_FIELD_BITS))
+            )
+        ).alias("hll_raw")
+    )

@@ -703,3 +703,43 @@ def cms_user_counts_sql(width: int, depth: int) -> str:
                e.cms_est - x.exact_n AS over_by
         FROM est e JOIN exact x ON e.user_id = x.user_id
     """
+
+
+def hll_users_sql(m: int = 32) -> str:
+    """Oracle for the HyperLogLog query: same register/rank integer
+    math (binary-string length, no float log2), same exact dyadic
+    harmonic sum, same fixed-shape final division.  The alpha·m²
+    literal is emitted via repr() so both engines parse the identical
+    double."""
+    from dqmtools_spark.functions.hashing import md5_hash60_sql
+    from dqmtools_spark.operators.sketch import HLL_FIELD_BITS
+
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    amm = repr(alpha * m * m)
+    fb = HLL_FIELD_BITS
+    h_expr = md5_hash60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH h AS (SELECT {h_expr} AS h FROM events),
+        r AS (
+            SELECT h % {m} AS register,
+                   LEAST(CASE WHEN h // {m} = 0 THEN {fb + 1}
+                              ELSE {fb + 1} - LENGTH(BIN(h // {m}))
+                         END, {fb}) AS rank
+            FROM h
+        ),
+        regs AS (
+            SELECT register, MAX(rank) AS max_rank FROM r GROUP BY register
+        ),
+        s AS (
+            SELECT SUM(CAST(1 AS BIGINT)
+                       << CAST({fb} - max_rank AS INTEGER)) AS ssum,
+                   COUNT(*) AS npres
+            FROM regs
+        )
+        SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_n,
+               ROUND({amm} /
+                     (CAST(ssum + ({m} - npres) *
+                           (CAST(1 AS BIGINT) << {fb}) AS DOUBLE)
+                      / {float(1 << fb)!r}), 2) AS hll_est
+        FROM s
+    """

@@ -422,3 +422,24 @@ def test_cms_never_undercounts_and_exact_when_wide(spark):
     probe = spark.createDataFrame([("never-seen",)], ["k"])
     v = cms_estimate(probe, skw, "k", width=4096, depth=4).collect()[0]
     assert v["cms_est"] >= 0
+
+
+def test_hll_accuracy_and_merge(spark):
+    from dqmtools_spark.operators.sketch import hll_estimate, hll_registers
+
+    df = spark.createDataFrame([(f"u{i}",) for i in range(5000)], ["k"])
+    est = hll_estimate(hll_registers(df, "k", m=32), m=32).collect()[0][
+        "hll_raw"
+    ]
+    # m=32 raw estimator: std error ~ 1.04/sqrt(32) ~ 18%
+    assert abs(est - 5000) / 5000 < 0.5, est
+    # shard merge = register-wise MAX == one build over the union
+    a = hll_registers(df.filter(F.col("k") < "u25"), "k", m=32)
+    b = hll_registers(df.filter(F.col("k") >= "u25"), "k", m=32)
+    merged = (
+        a.unionByName(b)
+        .groupBy("register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    whole = hll_estimate(hll_registers(df, "k", m=32), m=32).collect()
+    assert hll_estimate(merged, m=32).collect() == whole
