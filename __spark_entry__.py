@@ -1056,6 +1056,56 @@ def q_hll_distinct(spark, sf):
     )
 
 
+def q_unpivot_metrics(spark, sf):
+    """Wide -> long unpivot (the inverse of pivot_matrix): per-nation
+    aggregates melted into (nation, metric, value) rows — Spark
+    ``unpivot`` vs DuckDB ``UNPIVOT``, independent implementations of
+    the same relational op.  Values are decimal-summed then rounded,
+    same money policy as everywhere."""
+    n = _t(spark, sf, "nation")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    wide = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["total_price", "n_orders", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def q_window_rank_suite(spark, sf):
+    """Ranking-window completion (O-family): rank, dense_rank, ntile,
+    percent_rank and cume_dist over per-nation customer balances —
+    every emitted value is an exact rational of small integers
+    (percent_rank = (rank-1)/(n-1), cume_dist = rank/n), so the
+    cross-engine comparison is exact without rounding."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") % 10 == 0)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 def q_doc_top_bigram(spark, sf):
     """Gopher repetition signal: per-document most-common word bigram
     and the character fraction it covers, aggregated per source (avg
@@ -1301,6 +1351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
         "cms_user_counts": q_cms_user_counts,
         "hll_distinct": q_hll_distinct,
+        "unpivot_metrics": q_unpivot_metrics,
+        "window_rank_suite": q_window_rank_suite,
         "pricing_summary": q_pricing_summary,
         "filter_compound": q_filter_compound,
         "filter_sql_string": q_filter_sql_string,
@@ -1428,6 +1480,36 @@ def oracle_sql() -> dict[str, str]:
         "bloom_dedup": oracles.bloom_dedup_sql(m_bits=1024, k=5, split_id=50),
         "cms_user_counts": oracles.cms_user_counts_sql(width=64, depth=4),
         "hll_distinct": oracles.hll_users_sql(m=32),
+        "unpivot_metrics": """
+            WITH wide AS (
+                SELECT n.n_name,
+                       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)))
+                            AS DOUBLE) AS total_price,
+                       CAST(COUNT(*) AS DOUBLE) AS n_orders,
+                       CAST(COUNT(DISTINCT o.o_custkey) AS DOUBLE)
+                           AS n_customers
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                GROUP BY n.n_name
+            )
+            SELECT n_name, metric, value
+            FROM wide
+            UNPIVOT (value FOR metric IN (total_price, n_orders,
+                                          n_customers))
+        """,
+        "window_rank_suite": """
+            SELECT c_custkey, c_nationkey,
+                   CAST(RANK() OVER w AS BIGINT) AS rnk,
+                   CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+                   CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+                   PERCENT_RANK() OVER w AS pct_rank,
+                   CUME_DIST() OVER w AS cume
+            FROM customer
+            WHERE c_custkey % 10 = 0
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal ASC, c_custkey ASC)
+        """,
         "fuzzy_prefix_pairs": """
             WITH p AS (
                 SELECT doc_id,
