@@ -1106,6 +1106,44 @@ def q_window_rank_suite(spark, sf):
     )
 
 
+def q_robust_stats(spark, sf):
+    """Robust statistics (outlier-resistant profiling): per-group
+    median absolute deviation of l_quantity — two exact percentile
+    passes (median, then median of |x - median|).  Quantities are
+    integral and medians land on .0/.5, so every deviation is an exact
+    dyadic double; both engines interpolate at rank (n-1)/2."""
+    li = _t(spark, sf, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "med", F.abs(F.col("l_quantity") - F.col("med")).alias("_d")
+    )
+    return dev.groupBy("l_returnflag").agg(
+        F.first("med").alias("median_qty"),
+        F.percentile("_d", 0.5).alias("mad_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_histogram_totalprice(spark, sf):
+    """Fixed-width histogram of order totals (data-profiling
+    primitive): bin = floor(price / 25000) — one IEEE division + floor
+    with the identical expression shape on both engines, then a
+    map-side-combinable count per bin."""
+    o = _t(spark, sf, "orders")
+    b = F.floor(F.col("o_totalprice") / 25000).cast("long")
+    return (
+        o.select(b.alias("bin"), "o_totalprice")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
 def q_doc_top_bigram(spark, sf):
     """Gopher repetition signal: per-document most-common word bigram
     and the character fraction it covers, aggregated per source (avg
@@ -1353,6 +1391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "unpivot_metrics": q_unpivot_metrics,
         "window_rank_suite": q_window_rank_suite,
+        "robust_stats": q_robust_stats,
+        "histogram_totalprice": q_histogram_totalprice,
         "pricing_summary": q_pricing_summary,
         "filter_compound": q_filter_compound,
         "filter_sql_string": q_filter_sql_string,
@@ -1497,6 +1537,28 @@ def oracle_sql() -> dict[str, str]:
             FROM wide
             UNPIVOT (value FOR metric IN (total_price, n_orders,
                                           n_customers))
+        """,
+        "robust_stats": """
+            WITH med AS (
+                SELECT l_returnflag,
+                       quantile_cont(l_quantity, 0.5) AS med
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT li.l_returnflag,
+                   MIN(med.med) AS median_qty,
+                   quantile_cont(ABS(li.l_quantity - med.med), 0.5)
+                       AS mad_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem li JOIN med ON li.l_returnflag = med.l_returnflag
+            GROUP BY li.l_returnflag
+        """,
+        "histogram_totalprice": """
+            SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
+                   COUNT(*) AS n_orders,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price
+            FROM orders
+            GROUP BY CAST(FLOOR(o_totalprice / 25000) AS BIGINT)
         """,
         "window_rank_suite": """
             SELECT c_custkey, c_nationkey,
