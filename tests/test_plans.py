@@ -200,3 +200,19 @@ def test_int_bucket_expr_matches_pandas_udf(spark, sf_dir):
                     int_bucket_expr(F.col("embedding"), planes).alias("bucket"),
                 ).collect()}
     assert via_udf == via_expr
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become a PartitionFilters
+    entry (pruned at planning, no data files of other partitions
+    touched) — the mechanism SCALE.md's partitioned sinks rely on."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "bylang")
+    docs.write.partitionBy("lang").parquet(out)
+    q = spark.read.parquet(out).filter(F.col("lang") == "en").select("doc_id")
+    plan = explain_str(q)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "lang" in seg and "en" in seg
+    # and the non-partition residue is empty: nothing re-checked per row
+    assert q.count() == docs.filter(F.col("lang") == "en").count()
