@@ -1144,6 +1144,38 @@ def q_histogram_totalprice(spark, sf):
     )
 
 
+def q_range_interval_join(spark, sf):
+    """Interval-point range join, bucketized (operators/ranges.py):
+    purchases within 24h of the same user's signup.  The Spark side is
+    the scalable bucket equi-join + exact filter; the oracle is
+    DuckDB's plain BETWEEN range predicate — two deliberately
+    different implementations of the same semantics."""
+    from dqmtools_spark.operators.ranges import interval_point_join
+    from dqmtools_spark.operators.sessions import epoch_micros_fn
+
+    ev = _t(spark, sf, "events")
+    micros = epoch_micros_fn(ev, "ts")
+    sign = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 24 HOURS")).alias("win_end"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    out = interval_point_join(
+        sign, purch, "user_id", "win_start", "win_end", "ts",
+        bucket_minutes=1440,
+    )
+    return out.select(
+        "signup_id",
+        "purchase_id",
+        "user_id",
+        (micros(F.col("ts")) - micros(F.col("win_start"))).alias("lag_us"),
+    )
+
+
 def q_doc_top_bigram(spark, sf):
     """Gopher repetition signal: per-document most-common word bigram
     and the character fraction it covers, aggregated per source (avg
@@ -1393,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_suite": q_window_rank_suite,
         "robust_stats": q_robust_stats,
         "histogram_totalprice": q_histogram_totalprice,
+        "range_interval_join": q_range_interval_join,
         "pricing_summary": q_pricing_summary,
         "filter_compound": q_filter_compound,
         "filter_sql_string": q_filter_sql_string,
@@ -1537,6 +1570,22 @@ def oracle_sql() -> dict[str, str]:
             FROM wide
             UNPIVOT (value FOR metric IN (total_price, n_orders,
                                           n_customers))
+        """,
+        "range_interval_join": """
+            WITH s AS (
+                SELECT event_id AS signup_id, user_id,
+                       ts AS ws, ts + INTERVAL 24 HOUR AS we
+                FROM events WHERE event_type = 'signup'
+            ),
+            p AS (
+                SELECT event_id AS purchase_id, user_id, ts
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT s.signup_id, p.purchase_id, s.user_id,
+                   epoch_us(p.ts) - epoch_us(s.ws) AS lag_us
+            FROM s JOIN p
+              ON s.user_id = p.user_id
+             AND p.ts BETWEEN s.ws AND s.we
         """,
         "robust_stats": """
             WITH med AS (

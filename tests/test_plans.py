@@ -93,6 +93,10 @@ def test_round3_ops_plan_shapes(spark, sf_dir):
     # id/dist predicates ride it as join filters), never a cartesian
     fuzzy = explain_str(qs["fuzzy_prefix_pairs"](spark, sf_dir))
     assert "Cartesian" not in fuzzy and "BroadcastNestedLoop" not in fuzzy
+    # bucketized range join: the whole point is avoiding the
+    # nested-loop a raw BETWEEN predicate would produce
+    rj = explain_str(qs["range_interval_join"](spark, sf_dir))
+    assert "Cartesian" not in rj and "BroadcastNestedLoop" not in rj
 
 
 def test_salted_agg_two_exchanges_max(spark, sf_dir):

@@ -443,3 +443,50 @@ def test_hll_accuracy_and_merge(spark):
     )
     whole = hll_estimate(hll_registers(df, "k", m=32), m=32).collect()
     assert hll_estimate(merged, m=32).collect() == whole
+
+
+# ---------------------------------------------------------------------------
+# interval-point range join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_point_join_matches_bruteforce(spark):
+    from dqmtools_spark.operators.ranges import interval_point_join
+
+    rng = random.Random(21)
+    # narrow buckets (1h) + intervals up to 10h wide -> every interval
+    # spans many buckets, exercising the explode path
+    ivs = []
+    for i in range(80):
+        s = rng.randrange(10_000)
+        ivs.append((i, rng.randrange(3), _ts(s), _ts(s + rng.randrange(1, 600))))
+    pts = [(1000 + i, rng.randrange(3), _ts(rng.randrange(10_600)))
+           for i in range(300)]
+    idf = spark.createDataFrame(ivs, ["iid", "k", "s", "e"])
+    pdf = spark.createDataFrame(pts, ["pid", "k", "t"])
+    got = {
+        (r["iid"], r["pid"])
+        for r in interval_point_join(
+            idf, pdf, "k", "s", "e", "t", bucket_minutes=60
+        ).collect()
+    }
+    want = {
+        (i, p)
+        for (i, k1, s, e) in ivs
+        for (p, k2, t) in pts
+        if k1 == k2 and s <= t <= e
+    }
+    assert got == want and len(want) > 50
+    # boundary inclusivity: point exactly at start and at end both match
+    idf2 = spark.createDataFrame([(1, 1, _ts(0), _ts(60))], ["iid", "k", "s", "e"])
+    pdf2 = spark.createDataFrame(
+        [(10, 1, _ts(0)), (11, 1, _ts(60)), (12, 1, _ts(60.001))],
+        ["pid", "k", "t"],
+    )
+    hits = {
+        r["pid"]
+        for r in interval_point_join(
+            idf2, pdf2, "k", "s", "e", "t", bucket_minutes=60
+        ).collect()
+    }
+    assert hits == {10, 11}
