@@ -1176,6 +1176,26 @@ def q_range_interval_join(spark, sf):
     )
 
 
+def q_time_bucket_rollup(spark, sf):
+    """Hypertable-style continuous-aggregate shape: day-bucketed
+    metrics ROLLUPed through (day, event_type) -> (day) -> grand
+    total, one pass (`rollup` grouping sets).  The day bucket is
+    date_trunc (calendar-exact, no float); money sums ride the
+    decimal policy; grouping_id disambiguates levels identically in
+    both engines."""
+    ev = _t(spark, sf, "events")
+    day = F.date_trunc("DAY", F.col("ts")).alias("day")
+    return (
+        ev.select(day, "event_type", "value")
+        .rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+            F.grouping_id().cast("long").alias("level"),
+        )
+    )
+
+
 def q_doc_top_bigram(spark, sf):
     """Gopher repetition signal: per-document most-common word bigram
     and the character fraction it covers, aggregated per source (avg
@@ -1426,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_stats": q_robust_stats,
         "histogram_totalprice": q_histogram_totalprice,
         "range_interval_join": q_range_interval_join,
+        "time_bucket_rollup": q_time_bucket_rollup,
         "pricing_summary": q_pricing_summary,
         "filter_compound": q_filter_compound,
         "filter_sql_string": q_filter_sql_string,
@@ -1570,6 +1591,16 @@ def oracle_sql() -> dict[str, str]:
             FROM wide
             UNPIVOT (value FOR metric IN (total_price, n_orders,
                                           n_customers))
+        """,
+        "time_bucket_rollup": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                       AS total_value,
+                   CAST(GROUPING(date_trunc('day', ts)) * 2
+                        + GROUPING(event_type) AS BIGINT) AS level
+            FROM events
+            GROUP BY ROLLUP (date_trunc('day', ts), event_type)
         """,
         "range_interval_join": """
             WITH s AS (
