@@ -113,6 +113,13 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
         "salted_source_agg",
         "desparsify_check",
         "cube_metrics",
+        # round-3 operators (additive keys — earlier rounds' entries
+        # stay comparable across BENCH_r{N} files)
+        "asof_latest_click",
+        "event_sessions",
+        "url_canon_dedup",
+        "cms_user_counts",
+        "range_interval_join",
     ]
     qs = entry_mod.queries()
     out: dict[str, float] = {}
