@@ -45,3 +45,64 @@ def table_exists(spark: SparkSession, path: str) -> bool:
         return True
     except Exception:  # noqa: BLE001 — AnalysisException: path not found
         return False
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    partition_by: list[str] | None = None,
+    codec: str = "zstd",
+) -> dict:
+    """Small-file compaction: rewrite a parquet table into
+    ~``target_rows_per_file``-row files, content-identical.
+
+    The 100 TB housekeeping op: incremental/streaming appends produce
+    thousands of KB-sized files per partition, and scan planning cost
+    grows with FILE COUNT, not bytes (driver-side listing + one task
+    per tiny split).  Compaction reads once, repartitions to
+    ``ceil(rows / target)`` and atomically swaps via a staging
+    directory + rename — on Iceberg this whole routine is
+    ``rewrite_data_files`` (snapshot-committed); this is the plain
+    parquet equivalent behind the same seam.
+
+    Returns {files_before, files_after, rows}.  Partitioned layouts
+    pass ``partition_by`` to keep the layout (repartition on the
+    partition columns so each output partition writes contiguous
+    files).
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    n_files = max(1, math.ceil(rows / max(1, target_rows_per_file)))
+
+    def _count_files(p: str) -> int:
+        total = 0
+        for _, _, fs in os.walk(p):
+            total += sum(1 for f in fs if f.endswith(".parquet"))
+        return total
+
+    before = _count_files(path)
+    staging = path.rstrip("/") + "._compacting"
+    if partition_by:
+        out = df.repartition(n_files, *partition_by)
+        w = out.write.option("compression", codec).partitionBy(*partition_by)
+    else:
+        out = df.repartition(n_files)
+        w = out.write.option("compression", codec)
+    w.mode("overwrite").parquet(staging)
+    # swap: the reread-then-rename window is the non-transactional gap
+    # Iceberg's snapshot commit closes; acceptable for maintenance
+    # windows on plain parquet
+    backup = path.rstrip("/") + "._precompact"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return {
+        "files_before": before,
+        "files_after": _count_files(path),
+        "rows": rows,
+    }

@@ -490,3 +490,30 @@ def test_interval_point_join_matches_bruteforce(spark):
         ).collect()
     }
     assert hits == {10, 11}
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction
+# ---------------------------------------------------------------------------
+
+
+def test_compact_table_reduces_files_content_identical(spark, tmp_path):
+    from dqmtools_spark.sources.tables import compact_table
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}", float(i)) for i in range(4000)], ["id", "part", "v"]
+    )
+    # simulate incremental appends: 40 tiny files
+    for chunk in range(20):
+        df.filter((F.col("id") % 20) == chunk).coalesce(2).write.mode(
+            "append"
+        ).parquet(p)
+    before = spark.read.parquet(p).toPandas().sort_values("id")
+
+    stats = compact_table(spark, p, target_rows_per_file=2000)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] <= 4
+    assert stats["rows"] == 4000
+    after = spark.read.parquet(p).toPandas().sort_values("id")
+    assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
