@@ -68,8 +68,10 @@ def bloom_probe(
     m_bits: int = 1 << 20,
     k: int = 5,
 ) -> DataFrame:
-    """Flag each probe row ``maybe_member``: True iff ALL k bits are
-    set (no false negatives; false-positive rate ~ (1-e^{-kn/m})^k).
+    """One row per DISTINCT ``id_col``: (id_col, maybe_member) — True
+    iff ALL k bits are set (no false negatives; false-positive rate
+    ~ (1-e^{-kn/m})^k).  Other probe columns are not carried; join the
+    result back on ``id_col`` to annotate a full table.
 
     Plan: explode k positions, BROADCAST-join the word table, bool_and
     per probe id — map-only against the corpus, one small exchange on

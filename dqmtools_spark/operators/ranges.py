@@ -19,7 +19,7 @@ plain range predicate — two deliberately different implementations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dqmtools_spark.operators.sessions import epoch_micros_fn
@@ -42,7 +42,20 @@ def interval_point_join(
     never match.  ``bucket_minutes`` trades explode factor (wide
     intervals span more buckets) against candidate precision; the
     default of one day suits hour-to-day-scale windows.
+
+    Column-name preconditions (checked, ValueError): neither side may
+    contain the internal ``_bkt`` column, and apart from ``key`` the
+    two sides' column names must be disjoint (the output carries both
+    sides' columns unqualified).
     """
+    overlap = (set(intervals.columns) & set(points.columns)) - {key}
+    if overlap:
+        raise ValueError(
+            f"intervals/points share non-key columns {sorted(overlap)}; "
+            "rename before joining (output is unqualified)"
+        )
+    if "_bkt" in intervals.columns or "_bkt" in points.columns:
+        raise ValueError("'_bkt' is reserved by interval_point_join")
     bucket_us = bucket_minutes * 60_000_000
     im = epoch_micros_fn(intervals, start_col)
     pm = epoch_micros_fn(points, ts_col)

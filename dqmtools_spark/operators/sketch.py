@@ -74,10 +74,12 @@ def cms_estimate(
     width: int = 2048,
     depth: int = 4,
 ) -> DataFrame:
-    """Attach ``cms_est`` (the min-counter estimate) to every row of
-    ``keys``.  A key absent from the build still gets its collision
-    mass (possibly 0 via the missing-counter coalesce) — the sketch
-    never under-counts."""
+    """One row per DISTINCT key in ``keys``: (key, cms_est) — the
+    min-counter estimate.  Other columns are not carried and duplicate
+    keys collapse; join the result back on the key to annotate a full
+    table.  A key absent from the build still gets its collision mass
+    (possibly 0 via the missing-counter coalesce) — the sketch never
+    under-counts."""
     kc = F.col(key) if isinstance(key, str) else key
     ex = keys.select(
         kc.alias("_key"), F.explode(_rows_positions(kc, width, depth)).alias("_rp")
@@ -92,7 +94,20 @@ def cms_estimate(
 
 # ------------------------------------------------------------ HyperLogLog
 
-HLL_FIELD_BITS = 55  # md5-60bit minus 5 register-index bits (m = 32)
+
+def hll_field_bits(m: int) -> int:
+    """Rank-field width for m registers: 60 md5 bits minus the
+    register-index bits.  m must be a power of two (the register index
+    is ``h mod m``, i.e. the low log2(m) bits)."""
+    if m < 2 or m & (m - 1):
+        raise ValueError(f"m must be a power of two >= 2, got {m}")
+    return 60 - m.bit_length() + 1
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias-correction constant — the ONE definition,
+    shared with the DuckDB oracle (``oracles.hll_users_sql``)."""
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
 
 
 def hll_registers(
@@ -102,21 +117,24 @@ def hll_registers(
     rows (Flajolet et al. 2007).
 
     Register index = low log2(m) bits of the portable md5-60bit hash;
-    rank = leading-zero count of the remaining 55-bit field + 1,
-    computed EXACTLY via the binary-string length (``bin(w)`` has no
-    leading zeros in Spark and DuckDB alike — no float log2 anywhere),
-    capped at 55 so the oracle's dyadic arithmetic stays in int64.
-    The build is one map-side-combinable MAX aggregate shuffling at
-    most m rows; merging shards is register-wise MAX (same aggregate).
+    rank = leading-zero count of the remaining (60 - log2(m))-bit
+    field + 1, computed EXACTLY via the binary-string length
+    (``bin(w)`` has no leading zeros in Spark and DuckDB alike — no
+    float log2 anywhere), capped at the field width so the oracle's
+    dyadic arithmetic stays in int64 (sum <= m * 2^field < 2^61 for
+    any power-of-two m).  The build is one map-side-combinable MAX
+    aggregate shuffling at most m rows; merging shards is
+    register-wise MAX (same aggregate).
     """
+    fb = hll_field_bits(m)
     key = F.col(key) if isinstance(key, str) else key
     h = md5_hash60(key)
     w = F.expr(f"h DIV {m}")
     rank = F.least(
-        F.when(w == 0, F.lit(HLL_FIELD_BITS + 1)).otherwise(
-            F.lit(HLL_FIELD_BITS + 1) - F.length(F.bin(w))
+        F.when(w == 0, F.lit(fb + 1)).otherwise(
+            F.lit(fb + 1) - F.length(F.bin(w))
         ),
-        F.lit(HLL_FIELD_BITS),
+        F.lit(fb),
     )
     return (
         df.select(h.alias("h"))
@@ -127,35 +145,35 @@ def hll_registers(
 
 
 def hll_estimate(registers: DataFrame, m: int = 32) -> DataFrame:
-    """Raw HLL cardinality estimate from the register table.
+    """Raw HLL cardinality estimate from an m-register table (m MUST
+    match the build — it sets both the field width and alpha).
 
     The harmonic sum is computed as an EXACT integer,
-    ``sum(2^(55 - max_rank))`` plus ``2^55`` per never-touched
+    ``sum(2^(field - max_rank))`` plus ``2^field`` per never-touched
     register (every term is a dyadic integer because ranks are capped
-    at 55), so the only float in the pipeline is one fixed-shape
-    division — bit-reproducible in any engine.  Raw estimator only
-    (alpha_32·m²/harmonic-sum): the standard small/large-range
-    corrections use ``ln``, whose last-ulp behavior is libm-specific,
-    so they are deliberately left to callers that don't need
-    cross-engine exactness.  Bias at cardinalities << m² is the
-    documented HLL raw-estimator bias.
+    at the field width), so the only float in the pipeline is one
+    fixed-shape division — bit-reproducible in any engine.  Raw
+    estimator only (alpha·m²/harmonic-sum): the standard
+    small/large-range corrections use ``ln``, whose last-ulp behavior
+    is libm-specific, so they are deliberately left to callers that
+    don't need cross-engine exactness.  Bias at cardinalities << m²
+    is the documented HLL raw-estimator bias.
     """
-    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    fb = hll_field_bits(m)
     return registers.agg(
         (
-            F.lit(alpha * m * m)
+            F.lit(hll_alpha(m) * m * m)
             / (
                 (
                     F.sum(
                         F.expr(
                             f"shiftleft(CAST(1 AS BIGINT),"
-                            f" CAST({HLL_FIELD_BITS} - max_rank AS INT))"
+                            f" CAST({fb} - max_rank AS INT))"
                         )
                     )
-                    + (F.lit(m) - F.count(F.lit(1)))
-                    * F.lit(1 << HLL_FIELD_BITS)
+                    + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << fb)
                 ).cast("double")
-                / F.lit(float(1 << HLL_FIELD_BITS))
+                / F.lit(float(1 << fb))
             )
         ).alias("hll_raw")
     )

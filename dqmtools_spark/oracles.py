@@ -712,11 +712,10 @@ def hll_users_sql(m: int = 32) -> str:
     literal is emitted via repr() so both engines parse the identical
     double."""
     from dqmtools_spark.functions.hashing import md5_hash60_sql
-    from dqmtools_spark.operators.sketch import HLL_FIELD_BITS
+    from dqmtools_spark.operators.sketch import hll_alpha, hll_field_bits
 
-    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
-    amm = repr(alpha * m * m)
-    fb = HLL_FIELD_BITS
+    amm = repr(hll_alpha(m) * m * m)
+    fb = hll_field_bits(m)
     h_expr = md5_hash60_sql("CAST(user_id AS VARCHAR)")
     return f"""
         WITH h AS (SELECT {h_expr} AS h FROM events),

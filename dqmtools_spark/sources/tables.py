@@ -66,14 +66,34 @@ def compact_table(
     ``rewrite_data_files`` (snapshot-committed); this is the plain
     parquet equivalent behind the same seam.
 
-    Returns {files_before, files_after, rows}.  Partitioned layouts
-    pass ``partition_by`` to keep the layout (repartition on the
-    partition columns so each output partition writes contiguous
-    files).
+    Returns {files_before, files_after, rows}.  ``target_rows_per_file``
+    is enforced in BOTH layouts via ``maxRecordsPerFile``; the
+    partitioned branch additionally salts the shuffle so a heavy
+    partition value is written by many tasks (hashing on the partition
+    columns alone would funnel each value through ONE task).
+
+    Crash recovery: a crash between the two renames leaves the data in
+    the ``._precompact`` backup — the next invocation restores it; a
+    crash after the swap but before backup cleanup leaves a stale
+    backup — the next invocation removes it.  The rename window itself
+    is the non-transactional gap Iceberg's snapshot commit closes;
+    acceptable for maintenance windows on plain parquet.
     """
     import math
     import os
     import shutil
+
+    from pyspark.sql import functions as F
+
+    staging = path.rstrip("/") + "._compacting"
+    backup = path.rstrip("/") + "._precompact"
+    # recover from an earlier interrupted run (see docstring)
+    shutil.rmtree(staging, ignore_errors=True)  # always partial output
+    if os.path.exists(backup):
+        if os.path.exists(path):
+            shutil.rmtree(backup)  # swap finished, cleanup didn't
+        else:
+            os.rename(backup, path)  # crashed between the renames
 
     df = spark.read.parquet(path)
     rows = df.count()
@@ -86,18 +106,24 @@ def compact_table(
         return total
 
     before = _count_files(path)
-    staging = path.rstrip("/") + "._compacting"
     if partition_by:
-        out = df.repartition(n_files, *partition_by)
-        w = out.write.option("compression", codec).partitionBy(*partition_by)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(16)
+        ).alias("_salt")
+        out = (
+            df.withColumn("_salt", salt)
+            .repartition(n_files, *partition_by, "_salt")
+            .drop("_salt")
+        )
+        w = out.write.partitionBy(*partition_by)
     else:
-        out = df.repartition(n_files)
-        w = out.write.option("compression", codec)
-    w.mode("overwrite").parquet(staging)
-    # swap: the reread-then-rename window is the non-transactional gap
-    # Iceberg's snapshot commit closes; acceptable for maintenance
-    # windows on plain parquet
-    backup = path.rstrip("/") + "._precompact"
+        w = df.repartition(n_files).write
+    (
+        w.option("compression", codec)
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .mode("overwrite")
+        .parquet(staging)
+    )
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)

@@ -218,5 +218,14 @@ def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1].split("]")[0]
     assert "lang" in seg and "en" in seg
-    # and the non-partition residue is empty: nothing re-checked per row
+    # the non-partition residue is empty: nothing re-checked per row
+    # (assert on the plan, not counts — counts can't see a pruning
+    # regression that degrades to a correct post-scan filter; Spark
+    # omits the DataFilters line entirely when the residue is empty)
+    if "DataFilters: [" in plan:
+        dseg = plan.split("DataFilters: [")[1].split("]")[0]
+        assert dseg.strip() == "", f"unexpected DataFilters residue: {dseg}"
+    assert plan.count("Filter") == plan.count("PartitionFilters"), (
+        "post-scan Filter node present — pruning degraded"
+    )
     assert q.count() == docs.filter(F.col("lang") == "en").count()

@@ -517,3 +517,79 @@ def test_compact_table_reduces_files_content_identical(spark, tmp_path):
     assert stats["rows"] == 4000
     after = spark.read.parquet(p).toPandas().sort_values("id")
     assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
+
+
+def test_hll_field_width_scales_with_m(spark):
+    """The review's empirical failure case: m != 32 must not bias the
+    estimate (field width is 60 - log2(m), not a constant)."""
+    from dqmtools_spark.operators.sketch import hll_estimate, hll_registers
+
+    df = spark.createDataFrame([(f"u{i}",) for i in range(20_000)], ["k"])
+    # the constant-55 bug gave 0.58x at m=16 and 1.89x at m=64; the raw
+    # estimator's real sigma is ~1.04-1.3/sqrt(m), so a (0.6, 1.5) band
+    # on this DETERMINISTIC key set separates fixed from broken
+    # (measured fixed ratios here: 1.17 / 1.35 / 0.94)
+    for m in (16, 32, 64):
+        est = hll_estimate(hll_registers(df, "k", m=m), m=m).collect()[0][
+            "hll_raw"
+        ]
+        assert 0.6 < est / 20_000 < 1.5, (m, est)
+    with pytest.raises(ValueError):
+        hll_registers(df, "k", m=48)
+
+
+def test_interval_join_rejects_colliding_columns(spark):
+    from dqmtools_spark.operators.ranges import interval_point_join
+
+    idf = spark.createDataFrame([(1, 1, _ts(0), _ts(9))], ["iid", "k", "s", "e"])
+    pdf = spark.createDataFrame([(2, 1, _ts(1))], ["iid", "k", "t"])
+    with pytest.raises(ValueError, match="share non-key columns"):
+        interval_point_join(idf, pdf, "k", "s", "e", "t")
+    pdf2 = spark.createDataFrame([(2, 1, _ts(1))], ["pid", "k", "_bkt"])
+    with pytest.raises(ValueError, match="reserved"):
+        interval_point_join(idf, pdf2, "k", "s", "e", "_bkt")
+
+
+def test_compact_table_partitioned_honors_target_and_recovers(spark, tmp_path):
+    import os
+    import shutil
+
+    from dqmtools_spark.sources.tables import compact_table
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", float(i)) for i in range(10_000)], ["id", "part", "v"]
+    )
+    for chunk in range(10):
+        df.filter((F.col("id") % 10) == chunk).coalesce(3).write.mode(
+            "append"
+        ).partitionBy("part").parquet(p)
+    before = spark.read.parquet(p).toPandas().sort_values("id")
+
+    stats = compact_table(
+        spark, p, target_rows_per_file=1000, partition_by=["part"]
+    )
+    assert stats["rows"] == 10_000
+    # 5000 rows/partition at 1000/file -> ~5 files per partition, NOT 1
+    # (the one-file-per-partition-value collapse was the review bug)
+    per_part = {
+        d: sum(
+            1 for f in os.listdir(os.path.join(p, d)) if f.endswith(".parquet")
+        )
+        for d in os.listdir(p)
+        if d.startswith("part=")
+    }
+    assert all(n >= 5 for n in per_part.values()), per_part
+    after = spark.read.parquet(p).toPandas().sort_values("id")
+    assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
+
+    # crash recovery: simulate a crash between the two renames
+    backup = p + "._precompact"
+    os.rename(p, backup)
+    stats2 = compact_table(spark, p, target_rows_per_file=5000)
+    assert stats2["rows"] == 10_000
+    assert not os.path.exists(backup)
+    # and a stale backup next to a live table is cleaned up
+    shutil.copytree(p, backup)
+    compact_table(spark, p, target_rows_per_file=5000)
+    assert not os.path.exists(backup)
