@@ -1196,6 +1196,18 @@ def q_time_bucket_rollup(spark, sf):
     )
 
 
+def q_set_ops(spark, sf):
+    """Relational set operations (the O-family gap): customers who
+    ordered in BOTH 1995 and 1996 (INTERSECT DISTINCT) minus anyone
+    with a sub-5000 order (EXCEPT DISTINCT) — Spark intersect/subtract
+    vs DuckDB INTERSECT/EXCEPT, independent implementations."""
+    o = _t(spark, sf, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    low = o.filter(F.col("o_totalprice") < 5000).select("o_custkey")
+    return y95.intersect(y96).subtract(low)
+
+
 def q_doc_top_bigram(spark, sf):
     """Gopher repetition signal: per-document most-common word bigram
     and the character fraction it covers, aggregated per source (avg
@@ -1447,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_totalprice": q_histogram_totalprice,
         "range_interval_join": q_range_interval_join,
         "time_bucket_rollup": q_time_bucket_rollup,
+        "set_ops": q_set_ops,
         "pricing_summary": q_pricing_summary,
         "filter_compound": q_filter_compound,
         "filter_sql_string": q_filter_sql_string,
@@ -1591,6 +1604,17 @@ def oracle_sql() -> dict[str, str]:
             FROM wide
             UNPIVOT (value FOR metric IN (total_price, n_orders,
                                           n_customers))
+        """,
+        "set_ops": """
+            SELECT o_custkey FROM (
+                SELECT o_custkey FROM orders
+                WHERE year(o_orderdate) = 1995
+                INTERSECT
+                SELECT o_custkey FROM orders
+                WHERE year(o_orderdate) = 1996
+            )
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_totalprice < 5000
         """,
         "time_bucket_rollup": """
             SELECT date_trunc('day', ts) AS day, event_type,
