@@ -1430,18 +1430,47 @@ def _url_canon_oracle_sql() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver executes entries in dict order and may
-    # cap total time before finishing.  The three queries that lacked a
-    # driver CORRECTNESS row in rounds 1-2 (they were registered LAST)
-    # run FIRST; the 50 already-driver-proven ones follow.
+    # ORDER MATTERS: the driver executes entries in dict order and caps
+    # each round at 50 queries.  Staleness rotation: queries whose most
+    # recent DRIVER row is oldest run FIRST.  Round-4 ordering:
+    #   block 1 — never driver-verified this round's code (new in r4);
+    #   block 2 — the 23 whose driver rows date from r2 (rotated out of
+    #             r3 by the 50-query cap) while their backing modules
+    #             (dedup.py/similarity.py/udfs.py/pipeline.py) took r3
+    #             diffs — VERDICT r3 "Next round" item 1;
+    #   block 3 — the 50 proven green in CORRECTNESS_r03.json, ordered
+    #             so the pipeline/LSH ones (most code churn) lead.
     return {
+        # ---- block 2: r2-vintage driver signal, re-prove on current code
+        "quality_keep_summary": q_quality_keep_summary,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
+        "embedding_dup_lsh": q_embedding_dup_lsh,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        "spectral_peak": q_spectral_peak,
+        "doc_line_dedup": q_doc_line_dedup,
+        "token_shards": q_token_shards,
+        "contamination": q_contamination,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_lang_mode": q_doc_lang_mode,
+        "ngram_jaccard": q_ngram_jaccard,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_clusters": q_dedup_clusters,
+        "pivot_matrix": q_pivot_matrix,
+        "channel_stats": q_channel_stats,
+        "cube_metrics": q_cube_metrics,
+        "tz_format": q_tz_format,
+        "record_select": q_record_select,
+        "salted_source_agg": q_salted_source_agg,
+        "desparsify_check": q_desparsify_check,
+        # ---- block 3: green in CORRECTNESS_r03.json (most-churned first)
         "pipeline_full": q_pipeline_full,
         "pipeline_staged_agg": q_pipeline_staged_agg,
-        "doc_top_bigram": q_doc_top_bigram,
         "float_lsh_invariant": q_float_lsh_invariant,
         "doc_global_line_dedup": q_doc_global_line_dedup,
-        # round-3 additions — not yet driver-verified, so they run ahead
-        # of the long-proven block
+        "doc_top_bigram": q_doc_top_bigram,
         "asof_latest_click": q_asof_latest_click,
         "event_sessions": q_event_sessions,
         "url_canon_dedup": q_url_canon_dedup,
@@ -1487,30 +1516,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_word_stats": q_doc_word_stats,
         "doc_stopword_fraction": q_doc_stopword_fraction,
         "doc_token_count": q_doc_token_count,
-        "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_lang_mode": q_doc_lang_mode,
-        "ngram_jaccard": q_ngram_jaccard,
-        "quality_keep_summary": q_quality_keep_summary,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dedup_clusters": q_dedup_clusters,
-        "pivot_matrix": q_pivot_matrix,
-        "channel_stats": q_channel_stats,
-        "cube_metrics": q_cube_metrics,
-        "tz_format": q_tz_format,
-        "record_select": q_record_select,
-        "salted_source_agg": q_salted_source_agg,
-        "desparsify_check": q_desparsify_check,
-        "cosine_dup_pairs": q_cosine_dup_pairs,
-        # engine-portable LSH/ANN/spectral/pipeline tiers (full oracles)
-        "embedding_dup_lsh": q_embedding_dup_lsh,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "ann_topk": q_ann_topk,
-        "ivf_topk": q_ivf_topk,
-        "spectral_peak": q_spectral_peak,
-        "doc_line_dedup": q_doc_line_dedup,
-        "token_shards": q_token_shards,
-        "contamination": q_contamination,
     }
 
 

@@ -45,8 +45,8 @@ def _mk_spark(cpus: str, shuffle_partitions: int | None = None):
     return sp
 
 
-def run_pipeline_bench(spark, n_docs: int) -> tuple[float, int]:
-    """Returns (seconds, docs processed).
+def run_pipeline_bench(spark, n_docs: int) -> tuple[float, int, list[float]]:
+    """Returns (best seconds, docs processed, per-rep seconds).
 
     Input is materialized to parquet outside the timer and read back —
     both because that is the production shape (an Iceberg/parquet scan)
@@ -92,10 +92,14 @@ def run_pipeline_bench(spark, n_docs: int) -> tuple[float, int]:
         ).collect()
         return time.perf_counter() - t0
 
-    # best of two timed runs: steady-state throughput
-    dt = min(timed(0), timed(1))
+    # best of THREE timed runs (each rebuilds the DataFrame from the
+    # parquet path — Spark 4 memoizes collect() per DataFrame object).
+    # Per-rep times are returned so an exogenous host spike (documented
+    # >2x variance on this box; the r3 driver run recorded one) shows up
+    # as one outlier rep instead of silently becoming the headline.
+    reps = [round(timed(i), 3) for i in range(3)]
     shutil.rmtree(tmp, ignore_errors=True)
-    return dt, n
+    return min(reps), n, reps
 
 
 def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
@@ -184,7 +188,7 @@ def scaling_run(n_docs: int) -> dict:
 
 def scaling_one(cpus: str, n_docs: int) -> None:
     spark = _mk_spark(cpus)
-    dt, n = run_pipeline_bench(spark, n_docs)
+    dt, n, _ = run_pipeline_bench(spark, n_docs)
     print(json.dumps({"sec": round(dt, 3), "docs_per_sec": round(n / dt, 1)}))
     spark.stop()
 
@@ -226,7 +230,7 @@ def main() -> None:
 
     spark = _mk_spark(cpus)
     queries: dict[str, float] = {}
-    pipe_sec, n = run_pipeline_bench(spark, n_docs)
+    pipe_sec, n, pipe_reps = run_pipeline_bench(spark, n_docs)
     queries["pipeline"] = round(pipe_sec, 3)
     queries.update(run_query_bench(spark, sf_dir))
     total = round(sum(queries.values()), 3)
@@ -241,6 +245,7 @@ def main() -> None:
                 "sf": sf,
                 "pipeline_docs": n,
                 "pipeline_docs_per_sec": round(n / pipe_sec, 1),
+                "pipeline_rep_sec": pipe_reps,
             }
         )
     )

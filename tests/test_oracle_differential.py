@@ -46,7 +46,13 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(s) or s.dtype == "object" and all(
             isinstance(v, int) for v in s.dropna()
         ):
-            df[c] = pd.to_numeric(s, errors="ignore")
+            # errors="ignore" is removed in pandas 3; the guard above
+            # already ensures int-like values, so a failure keeps the
+            # column as-is (the old "ignore" semantics, made explicit)
+            try:
+                df[c] = pd.to_numeric(s)
+            except (ValueError, TypeError):
+                pass
         elif pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]").astype(str)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
