@@ -202,3 +202,78 @@ def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
     )
     want = {(r["lang"], r["start"]): r["n_events"] for r in batch.collect()}
     assert got == want and len(want) == 3 + 3  # en: 3 sessions, de: 3
+
+
+def test_session_window_state_survives_restart(spark, tmp_path):
+    """Kill-and-resume for session_window state (the discipline
+    test_streaming_first_occurrence already applies to dedup state):
+    an OPEN session checkpointed by run 1 must MERGE with an in-gap
+    event arriving after a restart, and finalize with the combined
+    count once the watermark passes — exactly-once session semantics
+    across restarts.  Parquet sink + append mode (memory sink cannot
+    recover from a checkpoint; append is the production mode — closed
+    sessions are emitted exactly once, open ones withheld)."""
+    import datetime as dt
+
+    from dqmtools_spark.streaming.stream import session_metrics
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "url string, warc_ts timestamp, lang string"
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def m(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    def write(rows, mode="append"):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            mode
+        ).parquet(inp)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        q = (
+            session_metrics(stream, gap="30 minutes", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def read_out():
+        df = spark.read.parquet(out)
+        return {
+            (r["lang"], r["sess_start"], r["sess_end"]): r["n_events"]
+            for r in df.collect()
+        }
+
+    # run 1: two open sessions — watermark (max_ts - 1h) is before both,
+    # so NOTHING may be emitted; their state lives in the checkpoint
+    write(
+        [("e0", m(0), "en"), ("e1", m(5), "en"), ("e2", m(10), "en"),
+         ("d0", m(0), "de"), ("d1", m(10), "de")],
+    )
+    run_once()
+    assert not read_out(), "open sessions must be withheld in append mode"
+
+    # run 2 (RESTART): d2 lands 15 min after d1 — inside the 30-min gap
+    # of the checkpointed open de session, so it must merge into it
+    write([("d2", m(25), "de")])
+    run_once()
+
+    # run 3 (second restart): far-future event advances the watermark
+    # past both sessions' close; they finalize with merged counts
+    write([("w0", m(600), "en")])
+    run_once()
+
+    got = read_out()
+    assert got.get(("en", m(0), m(40))) == 3, got
+    assert got.get(("de", m(0), m(55))) == 3, (
+        "de session did not merge across the restart: %s" % got
+    )
+    # each closed session emitted exactly once, the open one withheld
+    assert len(got) == 2, got
