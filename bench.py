@@ -45,8 +45,11 @@ def _mk_spark(cpus: str, shuffle_partitions: int | None = None):
     return sp
 
 
-def run_pipeline_bench(spark, n_docs: int) -> tuple[float, int, list[float]]:
-    """Returns (best seconds, docs processed, per-rep seconds).
+def run_pipeline_bench(
+    spark, n_docs: int, real_models: bool = True
+) -> tuple[float, int, list[float], float]:
+    """Returns (best seconds, docs processed, per-rep seconds,
+    best seconds with the REAL model artifacts injected).
 
     Input is materialized to parquet outside the timer and read back —
     both because that is the production shape (an Iceberg/parquet scan)
@@ -98,8 +101,38 @@ def run_pipeline_bench(spark, n_docs: int) -> tuple[float, int, list[float]]:
     # >2x variance on this box; the r3 driver run recorded one) shows up
     # as one outlier rep instead of silently becoming the headline.
     reps = [round(timed(i), 3) for i in range(3)]
+
+    # one more pair of runs with the REAL committed artifacts (fastText
+    # .bin langid + ARPA 3-gram LM, scripts/train_models.py) riding the
+    # UDF closure — records what swapping the stand-ins for genuine
+    # models costs in the Arrow-batched Python stage
+    real_best = 0.0
+    if real_models:
+        from dqmtools_spark.functions.models import load_arpa, load_fasttext_bin
+
+        art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+        models = {
+            "langid_fn": load_fasttext_bin(
+                os.path.join(art, "langid_synth.bin")
+            ).predict,
+            "ppl_fn": load_arpa(
+                os.path.join(art, "webtext_en_3gram.arpa.gz")
+            ).text_perplexity,
+        }
+
+        def timed_real() -> float:
+            t0 = time.perf_counter()
+            result, _ = run_pipeline(spark, spark.read.parquet(path), models=models)
+            result.agg(
+                F.count(F.lit(1)),
+                F.count_if(F.col("keep")),
+                F.sum(F.length("scrubbed_text")),
+            ).collect()
+            return time.perf_counter() - t0
+
+        real_best = round(min(timed_real() for _ in range(2)), 3)
     shutil.rmtree(tmp, ignore_errors=True)
-    return min(reps), n, reps
+    return min(reps), n, reps, real_best
 
 
 def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
@@ -188,7 +221,7 @@ def scaling_run(n_docs: int) -> dict:
 
 def scaling_one(cpus: str, n_docs: int) -> None:
     spark = _mk_spark(cpus)
-    dt, n, _ = run_pipeline_bench(spark, n_docs)
+    dt, n, _, _ = run_pipeline_bench(spark, n_docs, real_models=False)
     print(json.dumps({"sec": round(dt, 3), "docs_per_sec": round(n / dt, 1)}))
     spark.stop()
 
@@ -230,7 +263,7 @@ def main() -> None:
 
     spark = _mk_spark(cpus)
     queries: dict[str, float] = {}
-    pipe_sec, n, pipe_reps = run_pipeline_bench(spark, n_docs)
+    pipe_sec, n, pipe_reps, real_sec = run_pipeline_bench(spark, n_docs)
     queries["pipeline"] = round(pipe_sec, 3)
     queries.update(run_query_bench(spark, sf_dir))
     total = round(sum(queries.values()), 3)
@@ -246,6 +279,10 @@ def main() -> None:
                 "pipeline_docs": n,
                 "pipeline_docs_per_sec": round(n / pipe_sec, 1),
                 "pipeline_rep_sec": pipe_reps,
+                "pipeline_real_models_sec": real_sec,
+                "pipeline_real_models_docs_per_sec": round(n / real_sec, 1)
+                if real_sec
+                else None,
             }
         )
     )

@@ -1,0 +1,597 @@
+"""REAL trained model artifacts for the langid / perplexity seam.
+
+The pipeline's default langid + LM are deterministic stand-ins
+(``textproc.py``) so the oracle gate stays bit-exact.  This module is
+the other half of the story the north rule asks for — "fastText langid
+and KenLM-style n-gram perplexity scoring run inside vectorized
+pandas/Arrow UDFs": genuinely *trained* artifacts in the two standard
+interchange formats, plus pure-Python loaders (the sandbox has neither
+the ``fasttext`` nor the ``kenlm`` wheel), wired through the proven
+injection seam ``udfs.make_process_udfs`` (tests/test_model_seam.py).
+
+Two artifact families:
+
+1. **ARPA n-gram LM** (the format KenLM/SRILM produce and consume):
+   interpolated Witten–Bell smoothing written as a standard backoff
+   ARPA file.  Storing the *interpolated* probabilities makes the
+   backoff weight of an unpruned context exactly the WB interpolation
+   weight λ(h); after count-pruning, backoff weights are recomputed by
+   the standard renormalisation so every context still sums to exactly
+   1 over the vocabulary — a property the test suite checks directly.
+
+2. **fastText supervised classifier** in the official binary model
+   layout (magic 793712314, version 12 — the layout
+   ``FastText::saveModel`` writes: args, dictionary with NUL-terminated
+   entries + int64 count + int8 entry-type, dense float32 input/output
+   matrices), with fastText's FNV-1a token hash (including the
+   ``int8_t`` sign-extension quirk) and UTF-8-aware char-n-gram
+   subword extraction, trained by plain softmax SGD.
+
+Training is DRIVER-SIDE and offline by design: at 10^12-document scale
+the model is a pretrained artifact shipped to executors (closure or
+``--files``), never something the job fits in-line.  Loaders return
+plain picklable objects so a bound ``model.predict`` rides the UDF
+closure to workers exactly like the stand-ins do.
+
+Reference anchor: the reference builds per-channel decoder state once
+and reuses it across frames (dataframe_creator.py:32-116); here the
+"decoder state" is a trained model loaded once per executor.
+"""
+
+from __future__ import annotations
+
+import gzip
+import math
+import struct
+from collections import Counter
+
+import numpy as np
+
+# =====================================================================
+# Part 1 — ARPA backoff language model (KenLM/SRILM interchange format)
+# =====================================================================
+
+BOS = "<s>"
+EOS = "</s>"
+UNK = "<unk>"
+
+_LOG10_BOS = -99.0  # SRILM convention: <s> is context-only
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercased whitespace tokens — the same convention as
+    ``textproc.perplexity`` so stand-in and real LM see identical
+    token streams."""
+    return text.lower().split()
+
+
+def _wb_interpolated(counts_by_order, order, vocab):
+    """Interpolated Witten–Bell probabilities, bottom-up.
+
+    Returns ``probs[n]``: dict mapping n-gram tuple -> probability.
+    Unigrams interpolate with the uniform distribution over ``vocab``
+    so every vocab word (incl. <unk> and </s>) has mass and the
+    unigram level sums to exactly 1 (modulo float error).
+    """
+    vocab_list = sorted(vocab)
+    v = len(vocab_list)
+
+    # unigram level
+    uni_counts = counts_by_order[1]
+    total = sum(uni_counts.values())
+    n1plus = len(uni_counts)  # distinct continuations of the empty context
+    probs: dict[int, dict[tuple, float]] = {1: {}}
+    denom = total + n1plus
+    for w in vocab_list:
+        c = uni_counts.get((w,), 0)
+        probs[1][(w,)] = (c + n1plus * (1.0 / v)) / denom
+
+    # higher orders
+    for n in range(2, order + 1):
+        ngram_counts = counts_by_order[n]
+        ctx_total: Counter = Counter()
+        ctx_types: Counter = Counter()
+        for ng, c in ngram_counts.items():
+            ctx_total[ng[:-1]] += c
+            ctx_types[ng[:-1]] += 1
+        probs[n] = {}
+        lower = probs[n - 1]
+        for ng, c in ngram_counts.items():
+            ctx = ng[:-1]
+            lam_num = ctx_types[ctx]
+            den = ctx_total[ctx] + lam_num
+            probs[n][ng] = (c + lam_num * lower[ng[1:]]) / den
+    return probs
+
+
+class ArpaLM:
+    """A loaded (or freshly trained) ARPA backoff model.
+
+    ``table[n]`` maps an n-tuple of words to ``(log10_prob, log10_bow)``
+    (bow 0.0 when absent/terminal).  Scoring follows the standard
+    backoff recursion::
+
+        p(w | h) = p(h·w)              if h·w is listed
+                 = bow(h) · p(w | h')  otherwise  (bow(h)=1 if h unlisted)
+    """
+
+    def __init__(self, order: int, table: dict[int, dict[tuple, tuple[float, float]]]):
+        self.order = order
+        self.table = table
+        self.vocab = {ng[0] for ng in table[1]}
+
+    # -- scoring ------------------------------------------------------
+
+    def _norm(self, w: str) -> str:
+        return w if w in self.vocab else UNK
+
+    def word_logprob(self, context: tuple, word: str) -> float:
+        """log10 p(word | context) with backoff; context is already
+        vocab-normalised and at most order-1 long."""
+        while True:
+            ng = context + (word,)
+            hit = self.table.get(len(ng), {}).get(ng)
+            if hit is not None:
+                return hit[0]
+            if not context:
+                # word is in vocab by construction (normalised to <unk>)
+                return self.table[1][(word,)][0]
+            bow = self.table.get(len(context), {}).get(context, (0.0, 0.0))[1]
+            context = context[1:]
+            if bow:
+                return bow + self.word_logprob(context, word)
+
+    def sentence_logprob(self, tokens: list[str]) -> tuple[float, int]:
+        """(sum log10 p, n scored events) over w1..wn </s> with full
+        <s> padding — the standard full-sentence evaluation KenLM's
+        ``score`` performs."""
+        words = [self._norm(w) for w in tokens] + [EOS]
+        context = (BOS,) * (self.order - 1)
+        total = 0.0
+        for w in words:
+            total += self.word_logprob(context, w)
+            context = (context + (w,))[-(self.order - 1):] if self.order > 1 else ()
+        return total, len(words)
+
+    def text_perplexity(self, text: str | None) -> float | None:
+        """10^(-mean log10 p) over the text's tokens (None for empty) —
+        the drop-in ``ppl_fn`` for ``make_process_udfs``."""
+        if not text:
+            return None
+        toks = tokenize(text)
+        if not toks:
+            return None
+        lp, n = self.sentence_logprob(toks)
+        return float(10.0 ** (-lp / n))
+
+
+def train_arpa(
+    token_lists: list[list[str]],
+    order: int = 3,
+    word_min_count: int = 2,
+    prune_min_counts: tuple[int, ...] = (1, 2, 3),
+) -> ArpaLM:
+    """Train an interpolated Witten–Bell backoff model and return it as
+    an :class:`ArpaLM` (identical to what :func:`write_arpa` +
+    :func:`load_arpa` round-trips).
+
+    ``word_min_count`` folds rare words into ``<unk>`` (bounds the
+    vocabulary on corpora with open-ended tokens); ``prune_min_counts``
+    gives the minimum raw count to KEEP an n-gram entry per order
+    (1-indexed by order; unigrams are never pruned).  Backoff weights
+    are computed AFTER pruning with the renormalising formula, so the
+    pruned model still sums to exactly 1 per context.
+    """
+    # vocab from raw unigram counts
+    raw_uni: Counter = Counter()
+    for toks in token_lists:
+        raw_uni.update(toks)
+    vocab = {w for w, c in raw_uni.items() if c >= word_min_count}
+    vocab |= {UNK, EOS}
+
+    def norm(w: str) -> str:
+        return w if w in vocab else UNK
+
+    # n-gram counts with <s> padding and </s>.  <s> appears ONLY as
+    # context (never as a predicted word): n-grams ending in <s> are
+    # not counted at all — context-only <s> entries get sentinel probs
+    # and real backoff weights during assembly below.
+    counts_by_order: dict[int, Counter] = {n: Counter() for n in range(1, order + 1)}
+    for toks in token_lists:
+        sent = [BOS] * (order - 1) + [norm(w) for w in toks] + [EOS]
+        for n in range(1, order + 1):
+            cn = counts_by_order[n]
+            for i in range(len(sent) - n + 1):
+                ng = tuple(sent[i : i + n])
+                if ng[-1] != BOS:
+                    cn[ng] += 1
+
+    probs = _wb_interpolated(counts_by_order, order, vocab)
+
+    # prune by raw count (keep all unigrams, and every n-gram whose
+    # context touches <s> — sentence starts stay fully modelled and
+    # their count is bounded by |vocab| per <s>-context)
+    kept: dict[int, dict[tuple, float]] = {1: dict(probs[1])}
+    for n in range(2, order + 1):
+        thr = prune_min_counts[n - 1] if n - 1 < len(prune_min_counts) else 1
+        kept[n] = {
+            ng: p
+            for ng, p in probs[n].items()
+            if counts_by_order[n][ng] >= thr or BOS in ng
+        }
+
+    # assemble final table with backoff weights (post-prune renorm):
+    #   bow(h) = (1 - Σ_{w kept} p(h·w)) / (1 - Σ_{w kept} p_lower(h'·w))
+    table: dict[int, dict[tuple, tuple[float, float]]] = {
+        n: {} for n in range(1, order + 1)
+    }
+    # pass 1 — all probabilities.  Context-only <s> entries ((<s>,),
+    # (<s>,<s>), ...) carry the sentinel prob -99 but a REAL backoff
+    # weight (pass 2).
+    for n in range(1, order + 1):
+        entries = set(kept[n])
+        if n < order:
+            entries.add((BOS,) * n)
+        for ng in entries:
+            logp = _LOG10_BOS if ng[-1] == BOS else math.log10(kept[n][ng])
+            table[n][ng] = (logp, 0.0)
+
+    # pass 2 — backoff weights, bottom-up.  Evaluating an order-n
+    # probability touches probs at levels <= n (complete after pass 1)
+    # and bows at levels <= n-1 (complete from the previous iteration),
+    # never level-n bows — so the bottom-up order is sound.
+    for n in range(1, order):
+        by_ctx: dict[tuple, list[tuple]] = {}
+        for hi_ng in kept[n + 1]:
+            by_ctx.setdefault(hi_ng[:-1], []).append(hi_ng)
+        lm_view = ArpaLM(n, {k: table[k] for k in range(1, n + 1)})
+        for ctx, hi_ngs in by_ctx.items():
+            if ctx not in table[n]:
+                # context whose own n-gram was pruned: implicit bow 1
+                # (absent entry) — standard ARPA semantics
+                continue
+            num = 1.0
+            den = 1.0
+            for hi_ng in hi_ngs:
+                num -= kept[n + 1][hi_ng]
+                den -= 10.0 ** lm_view.word_logprob(hi_ng[1:-1], hi_ng[-1])
+            num = max(num, 1e-12)
+            den = max(den, 1e-12)
+            table[n][ctx] = (table[n][ctx][0], math.log10(num / den))
+    return ArpaLM(order, table)
+
+
+def write_arpa(lm: ArpaLM, path: str) -> None:
+    """Serialize in the standard ARPA text format (``.gz`` aware)."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wt", encoding="utf-8") as f:
+        f.write("\\data\\\n")
+        for n in range(1, lm.order + 1):
+            f.write(f"ngram {n}={len(lm.table[n])}\n")
+        for n in range(1, lm.order + 1):
+            f.write(f"\n\\{n}-grams:\n")
+            for ng in sorted(lm.table[n]):
+                logp, bow = lm.table[n][ng]
+                line = f"{logp:.7f}\t{' '.join(ng)}"
+                if bow != 0.0:
+                    line += f"\t{bow:.7f}"
+                f.write(line + "\n")
+        f.write("\n\\end\\\n")
+
+
+def load_arpa(path: str) -> ArpaLM:
+    """Parse a standard ARPA file (``.gz`` aware) into an ArpaLM."""
+    opener = gzip.open if path.endswith(".gz") else open
+    table: dict[int, dict[tuple, tuple[float, float]]] = {}
+    declared: dict[int, int] = {}
+    cur_n = 0
+    with opener(path, "rt", encoding="utf-8") as f:
+        section = None
+        for raw in f:
+            line = raw.strip("\n").strip("\r")
+            if not line.strip():
+                continue
+            if line == "\\data\\":
+                section = "data"
+                continue
+            if line == "\\end\\":
+                break
+            if line.startswith("\\") and line.endswith("-grams:"):
+                cur_n = int(line[1:].split("-")[0])
+                table[cur_n] = {}
+                section = "grams"
+                continue
+            if section == "data":
+                # "ngram N=count"
+                lhs, _, rhs = line.partition("=")
+                declared[int(lhs.split()[1])] = int(rhs)
+                continue
+            if section == "grams":
+                parts = line.split("\t")
+                if len(parts) == 1:  # some writers use spaces
+                    parts = line.split()
+                    logp, words, bow = parts[0], parts[1 : 1 + cur_n], parts[1 + cur_n :]
+                else:
+                    logp = parts[0]
+                    words = parts[1].split(" ")
+                    bow = parts[2:]
+                table[cur_n][tuple(words)] = (
+                    float(logp),
+                    float(bow[0]) if bow else 0.0,
+                )
+    order = max(table)
+    for n, cnt in declared.items():
+        if len(table.get(n, {})) != cnt:
+            raise ValueError(
+                f"ARPA header declares {cnt} {n}-grams, found {len(table.get(n, {}))}"
+            )
+    return ArpaLM(order, table)
+
+
+# =====================================================================
+# Part 2 — fastText supervised classifier (official .bin v12 layout)
+# =====================================================================
+
+FT_MAGIC = 793712314
+FT_VERSION = 12
+_LABEL_PREFIX = "__label__"
+
+# args enums (fastText args.h): loss {hs=1, ns=2, softmax=3, ova=4},
+# model {cbow=1, sg=2, sup=3}
+_LOSS_SOFTMAX = 3
+_MODEL_SUP = 3
+
+
+def ft_hash(s: str) -> int:
+    """fastText's FNV-1a 32-bit token hash, INCLUDING the int8_t
+    sign-extension of each byte (dictionary.cc ``Dictionary::hash``) —
+    bytes >= 0x80 are sign-extended before the xor, which changes the
+    result vs textbook FNV-1a."""
+    h = 2166136261
+    for b in s.encode("utf-8"):
+        if b >= 128:
+            b -= 256  # int8_t cast
+        h = (h ^ (b & 0xFFFFFFFF)) & 0xFFFFFFFF
+        h = (h * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def _utf8_char_spans(word_bytes: bytes) -> list[int]:
+    """Start offsets of UTF-8 codepoints (continuation bytes 0b10xxxxxx
+    are skipped), mirroring computeSubwords' byte-walk."""
+    return [i for i, b in enumerate(word_bytes) if (b & 0xC0) != 0x80]
+
+
+def ft_subwords(word: str, minn: int, maxn: int) -> list[str]:
+    """Char n-grams of ``<word>`` exactly as fastText's
+    ``computeSubwords`` walks them: UTF-8 codepoint-aligned, lengths
+    minn..maxn, skipping 1-grams anchored at either end."""
+    decorated = ("<" + word + ">").encode("utf-8")
+    starts = _utf8_char_spans(decorated) + [len(decorated)]
+    out = []
+    for a in range(len(starts) - 1):
+        for n in range(1, maxn + 1):
+            if a + n >= len(starts):
+                break
+            i, j = starts[a], starts[a + n]
+            if n >= minn and not (n == 1 and (i == 0 or j == len(decorated))):
+                out.append(decorated[i:j].decode("utf-8"))
+    return out
+
+
+class FastTextModel:
+    """A supervised fastText model: dictionary + dense matrices.
+
+    Plain picklable object — a bound ``predict`` ships to executors in
+    the UDF closure (the seam's contract).  ``predict`` lowercases its
+    input; the trainer lowercases too, so train/serve tokenisation
+    agree (fastText itself leaves casing to the caller).
+    """
+
+    def __init__(self, args: dict, words: list[tuple[str, int]], labels: list[tuple[str, int]],
+                 w_in: np.ndarray, w_out: np.ndarray, ntokens: int = 0):
+        self.args = args
+        self.words = words      # [(word, count)] sorted count desc
+        self.labels = labels    # [(label_with_prefix, count)]
+        self.word_id = {w: i for i, (w, _) in enumerate(words)}
+        self.w_in = w_in        # (nwords + bucket, dim) float32
+        self.w_out = w_out      # (nlabels, dim) float32
+        self.ntokens = ntokens
+
+    # -- features -----------------------------------------------------
+
+    def _token_ids(self, tok: str) -> list[int]:
+        nwords = len(self.words)
+        bucket = self.args["bucket"]
+        ids = []
+        wid = self.word_id.get(tok)
+        if wid is not None:
+            ids.append(wid)
+        if self.args["maxn"] > 0:
+            for ng in ft_subwords(tok, self.args["minn"], self.args["maxn"]):
+                ids.append(nwords + ft_hash(ng) % bucket)
+        return ids
+
+    def features(self, text: str) -> list[int]:
+        ids: list[int] = []
+        for tok in text.lower().split():
+            ids.extend(self._token_ids(tok))
+        eos = self.word_id.get(EOS)
+        if eos is not None:
+            ids.append(eos)
+        return ids
+
+    # -- inference ----------------------------------------------------
+
+    def predict_scores(self, text: str) -> np.ndarray:
+        ids = self.features(text)
+        if not ids:
+            return np.full(len(self.labels), 1.0 / max(len(self.labels), 1))
+        hidden = self.w_in[np.asarray(ids)].mean(axis=0)
+        z = self.w_out @ hidden
+        z -= z.max()
+        e = np.exp(z)
+        return e / e.sum()
+
+    def predict(self, text: str | None) -> str:
+        """text -> bare language code (label prefix stripped); 'und'
+        for empty input — the drop-in ``langid_fn`` for the seam."""
+        if not text:
+            return "und"
+        scores = self.predict_scores(text)
+        lab = self.labels[int(np.argmax(scores))][0]
+        return lab[len(_LABEL_PREFIX):] if lab.startswith(_LABEL_PREFIX) else lab
+
+
+def train_fasttext_supervised(
+    texts: list[str],
+    labels: list[str],
+    dim: int = 16,
+    bucket: int = 8192,
+    minn: int = 2,
+    maxn: int = 4,
+    epoch: int = 5,
+    lr: float = 0.5,
+    min_count: int = 5,
+    seed: int = 17,
+) -> FastTextModel:
+    """Softmax SGD over mean-pooled (word + char-n-gram-bucket)
+    embeddings — fastText's supervised objective, fit in numpy.
+    Deterministic for a fixed seed (plain Python RNG for shuffling,
+    seeded normal init)."""
+    rng = np.random.default_rng(seed)
+
+    counts: Counter = Counter()
+    ntokens = 0
+    for t in texts:
+        toks = t.lower().split()
+        counts.update(toks)
+        counts[EOS] += 1
+        ntokens += len(toks) + 1
+    words = sorted(
+        ((w, c) for w, c in counts.items() if c >= min_count or w == EOS),
+        key=lambda wc: (-wc[1], wc[0]),
+    )
+    label_counts = Counter(_LABEL_PREFIX + l for l in labels)
+    label_list = sorted(label_counts.items(), key=lambda lc: (-lc[1], lc[0]))
+
+    args = {
+        "dim": dim, "ws": 5, "epoch": epoch, "minCount": min_count, "neg": 5,
+        "wordNgrams": 1, "loss": _LOSS_SOFTMAX, "model": _MODEL_SUP,
+        "bucket": bucket, "minn": minn, "maxn": maxn,
+        "lrUpdateRate": 100, "t": 1e-4, "lr": lr,
+    }
+    nwords, nlabels = len(words), len(label_list)
+    w_in = (rng.random((nwords + bucket, dim), dtype=np.float32) * 2 - 1) / dim
+    w_out = np.zeros((nlabels, dim), dtype=np.float32)
+    model = FastTextModel(args, words, label_list, w_in, w_out, ntokens)
+    lab_id = {lab: i for i, (lab, _) in enumerate(label_list)}
+
+    feats = [np.asarray(model.features(t), dtype=np.int64) for t in texts]
+    ys = np.asarray([lab_id[_LABEL_PREFIX + l] for l in labels])
+
+    n = len(texts)
+    order_idx = np.arange(n)
+    total_steps = epoch * n
+    step = 0
+    for _ in range(epoch):
+        rng.shuffle(order_idx)
+        for i in order_idx:
+            ids = feats[i]
+            if ids.size == 0:
+                step += 1
+                continue
+            cur_lr = lr * (1.0 - step / total_steps)
+            hidden = w_in[ids].mean(axis=0)
+            z = w_out @ hidden
+            z -= z.max()
+            e = np.exp(z)
+            p = e / e.sum()
+            gout = p.copy()
+            gout[ys[i]] -= 1.0  # dL/dz
+            ghid = w_out.T @ gout
+            w_out -= cur_lr * np.outer(gout, hidden)
+            np.add.at(w_in, ids, (-cur_lr / ids.size) * ghid.astype(np.float32))
+            step += 1
+    return model
+
+
+# -- official binary layout -------------------------------------------
+
+_ARGS_FIELDS = [
+    "dim", "ws", "epoch", "minCount", "neg", "wordNgrams",
+    "loss", "model", "bucket", "minn", "maxn", "lrUpdateRate",
+]
+
+
+def save_fasttext_bin(model: FastTextModel, path: str) -> None:
+    """Write the official fastText model file (``FastText::saveModel``
+    layout, version 12): magic, version, args (12×int32 + double t),
+    dictionary (sizes, then NUL-terminated word + int64 count + int8
+    type per entry, words before labels), quant flag + dense input
+    matrix (int64 m, int64 n, float32 data), quant flag + output
+    matrix.  ``fasttext.load_model`` reads this file."""
+    a = model.args
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", FT_MAGIC, FT_VERSION))
+        f.write(struct.pack("<" + "i" * 12, *[int(a[k]) for k in _ARGS_FIELDS]))
+        f.write(struct.pack("<d", float(a["t"])))
+        nwords, nlabels = len(model.words), len(model.labels)
+        f.write(struct.pack("<iii", nwords + nlabels, nwords, nlabels))
+        f.write(struct.pack("<qq", int(model.ntokens), -1))  # pruneidx_size_=-1
+        for word, count, etype in (
+            [(w, c, 0) for w, c in model.words] + [(l, c, 1) for l, c in model.labels]
+        ):
+            f.write(word.encode("utf-8") + b"\x00")
+            f.write(struct.pack("<qb", int(count), etype))
+        for mat in (model.w_in, model.w_out):
+            f.write(struct.pack("<?", False))  # quant_
+            f.write(struct.pack("<qq", mat.shape[0], mat.shape[1]))
+            f.write(np.ascontiguousarray(mat, dtype="<f4").tobytes())
+
+
+def load_fasttext_bin(path: str) -> FastTextModel:
+    """Parse the official fastText .bin layout back into a
+    :class:`FastTextModel` (dense, non-quantised models)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+
+    def take(fmt):
+        nonlocal off
+        vals = struct.unpack_from("<" + fmt, data, off)
+        off += struct.calcsize("<" + fmt)
+        return vals
+
+    magic, version = take("ii")
+    if magic != FT_MAGIC:
+        raise ValueError(f"not a fastText model (magic {magic})")
+    if version > FT_VERSION:
+        raise ValueError(f"unsupported fastText model version {version}")
+    args_vals = take("i" * 12)
+    (t_val,) = take("d")
+    args = dict(zip(_ARGS_FIELDS, args_vals))
+    args["t"] = t_val
+    size, nwords, nlabels = take("iii")
+    ntokens, prune_sz = take("qq")
+    entries: list[tuple[str, int, int]] = []
+    for _ in range(size):
+        end = data.index(b"\x00", off)
+        word = data[off:end].decode("utf-8")
+        off = end + 1
+        count, etype = take("qb")
+        entries.append((word, count, etype))
+    if prune_sz > 0:
+        take("ii" * prune_sz)
+    words = [(w, c) for w, c, t in entries if t == 0]
+    labels = [(w, c) for w, c, t in entries if t == 1]
+    mats = []
+    for _ in range(2):
+        (quant,) = take("?")
+        if quant:
+            raise ValueError("quantised fastText models not supported")
+        m, n = take("qq")
+        mat = np.frombuffer(data, dtype="<f4", count=m * n, offset=off).reshape(m, n)
+        off += m * n * 4
+        mats.append(np.array(mat))  # own the memory
+    return FastTextModel(args, words, labels, mats[0], mats[1], ntokens)

@@ -93,14 +93,16 @@ _PROC_SCHEMA = T.StructType(_PROC_FIELDS)
 PROC_FIELD_NAMES = [f.name for f in _PROC_FIELDS]
 
 
-def _process_texts(texts: pd.Series, lm=None, langid_fn=None) -> pd.DataFrame:
-    model, oov = lm if lm is not None else _get_lm()
+def _process_texts(texts: pd.Series, lm=None, langid_fn=None, ppl_fn=None) -> pd.DataFrame:
+    if ppl_fn is None:
+        model, oov = lm if lm is not None else _get_lm()
+        ppl_fn = lambda t: textproc.perplexity(t, model, oov)  # noqa: E731
     predict = langid_fn if langid_fn is not None else textproc.predict_lang
     langs, ppls, scrubbed = [], [], []
     counters: dict[str, list[int]] = {k: [] for k in textproc.SCRUB_KINDS}
     for t in texts:
         langs.append(predict(t))
-        ppls.append(textproc.perplexity(t, model, oov))
+        ppls.append(ppl_fn(t))
         out, hits = textproc.scrub_text(t)
         scrubbed.append(out)
         for k in textproc.SCRUB_KINDS:
@@ -115,7 +117,7 @@ def _process_texts(texts: pd.Series, lm=None, langid_fn=None) -> pd.DataFrame:
     return pd.DataFrame(data)
 
 
-def make_process_udfs(lm=None, langid_fn=None):
+def make_process_udfs(lm=None, langid_fn=None, ppl_fn=None):
     """THE model swap point: build the fused pipeline UDFs around
     injected models instead of the deterministic stand-ins.
 
@@ -125,6 +127,11 @@ def make_process_udfs(lm=None, langid_fn=None):
       via cloudpickle, or broadcast it first for very large tables).
     - ``langid_fn``: ``text -> lang_code`` callable — swap in a real
       fastText ``model.predict`` wrapper here.  Must be picklable.
+    - ``ppl_fn``: ``text -> float | None`` callable overriding the
+      whole perplexity computation (takes precedence over ``lm``) —
+      the hook for a full backoff LM like
+      :class:`~dqmtools_spark.functions.models.ArpaLM.text_perplexity`,
+      whose scoring recursion doesn't fit the flat dict shape.
 
     Defaults (both ``None``) keep the lazy per-executor singletons, so
     nothing is shipped in the closure.  Returns
@@ -137,11 +144,11 @@ def make_process_udfs(lm=None, langid_fn=None):
     @F.pandas_udf(_PROC_SCHEMA)
     def page_udf(html: pd.Series) -> pd.DataFrame:
         texts = html.map(textproc.extract_text)
-        return _process_texts(texts, lm=lm, langid_fn=langid_fn)
+        return _process_texts(texts, lm=lm, langid_fn=langid_fn, ppl_fn=ppl_fn)
 
     @F.pandas_udf(_PROC_SCHEMA)
     def text_udf(text: pd.Series) -> pd.DataFrame:
-        return _process_texts(text, lm=lm, langid_fn=langid_fn)
+        return _process_texts(text, lm=lm, langid_fn=langid_fn, ppl_fn=ppl_fn)
 
     return page_udf, text_udf
 

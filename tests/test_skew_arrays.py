@@ -554,3 +554,68 @@ def test_global_line_dedup_semantics(spark):
     assert got[2]["n_kept"] == 3
     assert got[3]["deduped_text"] == "" and got[3]["n_kept"] == 0
     assert got[4]["deduped_text"] == "" and got[4]["n_kept"] == 0
+
+
+def test_global_line_dedup_hot_hash_collapses_map_side(spark):
+    """VERDICT r3 item 6: a boilerplate line planted in 30% of docs is
+    the md5(line) hot key.  Demonstrate — not just assert — that the
+    winner-per-hash aggregate collapses it MAP-SIDE:
+
+    1. plan pin: the winners aggregate is two-phase (a ``partial_min``
+       HashAggregate below the Exchange), so each map task emits ONE
+       pre-aggregated row per distinct hash it holds;
+    2. counted evidence: replaying that exact grouping shows the hot
+       hash crosses the shuffle as <= n_map_partitions rows instead of
+       the 0.3 * n_docs raw occurrences;
+    3. semantics stay right under the skew: the boilerplate survives
+       exactly once, in the smallest (id, idx).
+
+    Mirrors the reference's repeated-content shape
+    (wibeth_tests.py:76 count-not-equal family) at corpus scale.
+    """
+    from dqmtools_spark.operators.dedup import global_line_dedup
+    from dqmtools_spark.plans.audit import explain_str
+
+    n_docs, n_parts = 3_000, 8
+    boiler = "subscribe to our newsletter for daily updates"
+    docs = (
+        spark.range(0, n_docs, numPartitions=n_parts)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                "\n",
+                F.when(F.col("id") % 10 < 3, F.lit(boiler)).otherwise(
+                    F.concat(F.lit("head "), F.md5(F.concat(F.lit("h"), "id")))
+                ),
+                F.md5(F.concat(F.lit("a"), "id")),
+                F.md5(F.concat(F.lit("b"), "id")),
+            ).alias("text"),
+        )
+    )
+
+    out = global_line_dedup(docs, "text", "doc_id")
+
+    # (1) two-phase aggregate pinned in the physical plan
+    plan = explain_str(out)
+    assert "partial_min" in plan, "winners agg lost its map-side combine"
+
+    # (2) replay the partial-agg grouping: rows the exchange carries for
+    # the hot hash = (map partition, hash) groups, bounded by n_parts
+    ex = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.posexplode(F.split("text", r"\n")).alias("_idx", "_line"),
+    ).withColumn("_h", F.md5("_line"))
+    hot = ex.filter(F.col("_line") == boiler)
+    raw_hot_rows = hot.count()
+    assert raw_hot_rows == 3 * n_docs // 10  # 30% of docs, once each
+    after_partial = (
+        hot.groupBy(F.spark_partition_id().alias("_p"), "_h").count().count()
+    )
+    assert after_partial <= n_parts, (after_partial, n_parts)
+
+    # (3) correctness under skew: survivor is doc 0 (min id among the
+    # planted 30%), every other planted doc lost exactly that line
+    res = out.filter(F.col("n_kept") < 3)
+    assert res.count() == raw_hot_rows - 1
+    first = out.filter(F.col("doc_id") == 0).first()
+    assert first["deduped_text"].startswith(boiler) and first["n_kept"] == 3
