@@ -1,19 +1,24 @@
-"""Pure-Python baseline JPEG (SOF0) codec — no external libraries.
+"""Pure-Python JPEG codec (baseline SOF0 + progressive SOF2) — no
+external libraries.
 
 Decoder scope (everything else raises ``NotImplementedError`` and is
 degraded to a null feature by the multimodal guard, same contract as
 ``pngcodec``):
 
 - baseline sequential DCT (SOF0), 8-bit precision,
+- progressive DCT (SOF2): multi-scan coefficient accumulation with
+  spectral selection (Ss/Se bands), successive approximation (Ah/Al
+  first + refinement passes, incl. the AC correction-bit algorithm
+  and EOB runs), interleaved DC scans and non-interleaved AC scans,
 - 1 (grayscale) or 3 (YCbCr) components, arbitrary sampling factors
   1-2 (so 4:4:4, 4:2:2 and 4:2:0 all decode); chroma upsampling is
   sample REPLICATION (the classic baseline decoder form — documented,
   deterministic),
-- restart markers (DRI/RSTn) with DC-predictor reset,
+- restart markers (DRI/RSTn) with DC-predictor + EOB-run reset,
 - 0xFF00 byte stuffing.
 
-NOT supported: progressive (SOF2), arithmetic coding, 12-bit,
-hierarchical, CMYK/4-component scans.
+NOT supported: arithmetic coding, 12-bit, lossless/hierarchical,
+CMYK/4-component scans.
 
 Pixel math is pinned, deterministic, and test-verified against an
 INDEPENDENT numpy reconstruction from the raw quantized coefficients
@@ -224,6 +229,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     huff_dc: dict[int, _HuffDecoder] = {}
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None  # (h, w, [(comp_id, hi, vi, tq)])
+    progressive = False
+    coeffs: dict[int, np.ndarray] | None = None  # cid -> (nby, nbx, 64)
     restart_interval = 0
     i = 2
     while i + 4 <= len(data):
@@ -242,7 +249,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     raise NotImplementedError("16-bit quant tables unsupported")
                 qt[tq] = np.array(list(seg[j + 1 : j + 65]), dtype=np.int32)
                 j += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision unsupported")
@@ -256,10 +263,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     raise NotImplementedError(f"sampling {hi}x{vi} unsupported")
                 comps.append((cid, hi, vi, tq))
             frame = (int(h), int(w), comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline frame type SOF{marker - 0xC0} unsupported"
+                f"frame type SOF{marker - 0xC0} unsupported"
             )
         elif marker == 0xC4:  # DHT
             j = 0
@@ -275,18 +283,40 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan_tables = {}
+            scan_comps = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_tables[cid] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(
-                data, i + 2 + seg_len, frame, qt, huff_dc, huff_ac,
-                scan_tables, restart_interval,
+                scan_comps.append((cid, tt >> 4, tt & 0x0F))
+            if not progressive:
+                return _decode_scan(
+                    data, i + 2 + seg_len, frame, qt, huff_dc, huff_ac,
+                    {cid: (dc_t, ac_t) for cid, dc_t, ac_t in scan_comps},
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if coeffs is None:
+                _h, _w, fcomps = frame
+                hmax = max(c[1] for c in fcomps)
+                vmax = max(c[2] for c in fcomps)
+                mcux = -(-_w // (8 * hmax))
+                mcuy = -(-_h // (8 * vmax))
+                coeffs = {
+                    cid: np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+                    for (cid, hi, vi, _tq) in fcomps
+                }
+            i = _decode_scan_progressive(
+                data, i + 2 + seg_len, frame, huff_dc, huff_ac,
+                scan_comps, restart_interval,
+                ss, se, ahal >> 4, ahal & 0x0F, coeffs,
             )
+            continue
         # APPn / COM / anything else: skip
         i += 2 + seg_len
+    if progressive and coeffs is not None:
+        return _reconstruct_from_coeffs(frame, qt, coeffs)
     raise ValueError("no scan data (missing SOS)")
 
 
@@ -327,6 +357,13 @@ def _decode_scan(
                         x0 = (mx * hi + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu_count += 1
+    return _planes_to_pixels(frame, planes, hmax, vmax)
+
+
+def _planes_to_pixels(frame, planes, hmax, vmax):
+    """Shared tail of both decode paths: upsample (replication), crop,
+    level-shift, YCbCr->RGB (JFIF matrix), round half-even, clip."""
+    h, w, comps = frame
     out_planes = []
     for (cid, hi, vi, _tq) in comps:
         p = planes[cid]
@@ -373,6 +410,205 @@ def _decode_block(reader, dc_table, ac_table, pred, cid) -> np.ndarray:
         scan[k] = _extend(reader.receive(size), size)
         k += 1
     return scan
+
+
+# ------------------------------------------- progressive (SOF2) scans
+#
+# T.81 Annex G decoding: each SOS accumulates into per-component
+# coefficient arrays (zig-zag order per block); pixels are produced
+# once, at EOI, by `_reconstruct_from_coeffs` — through the SAME
+# dequantize/IDCT/upsample/color tail as the baseline path, so the two
+# frame types cannot drift apart numerically.
+
+
+def _scan_units(frame, scan_comps):
+    """Yield decode units for one scan: lists of (cid, by, bx, dc_t,
+    ac_t) block coordinates into the MCU-padded coefficient grid.
+
+    Interleaved scans (ns>1) walk the frame MCU grid.  Non-interleaved
+    scans (ns=1) walk the COMPONENT's own ceil(samples/8) block grid —
+    smaller than the MCU-padded grid for subsampled frames; the padding
+    blocks are simply never coded (T.81 A.2.2 vs A.2.3).
+    """
+    h, w, fcomps = frame
+    byid = {c[0]: c for c in fcomps}
+    hmax = max(c[1] for c in fcomps)
+    vmax = max(c[2] for c in fcomps)
+    if len(scan_comps) > 1:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for (cid, dc_t, ac_t) in scan_comps:
+                    _cid, hi, vi, _tq = byid[cid]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            unit.append(
+                                (cid, my * vi + by, mx * hi + bx, dc_t, ac_t)
+                            )
+                yield unit
+    else:
+        cid, dc_t, ac_t = scan_comps[0]
+        _cid, hi, vi, _tq = byid[cid]
+        comp_w = -(-(w * hi) // hmax)
+        comp_h = -(-(h * vi) // vmax)
+        nbx = -(-comp_w // 8)
+        nby = -(-comp_h // 8)
+        for by in range(nby):
+            for bx in range(nbx):
+                yield [(cid, by, bx, dc_t, ac_t)]
+
+
+def _decode_scan_progressive(
+    data, start, frame, huff_dc, huff_ac, scan_comps, restart_interval,
+    ss, se, ah, al, coeffs,
+):
+    """Decode one SOF2 scan into ``coeffs``; return the offset of the
+    marker that terminates the scan's entropy data."""
+    h, w, _fcomps = frame
+    if h == 0 or w == 0:
+        raise ValueError("zero-area JPEG")
+    if not (0 <= ss <= se <= 63):
+        raise ValueError(f"bad spectral band Ss={ss} Se={se}")
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if ah != 0 and ah != al + 1:
+        raise ValueError(f"bad successive approximation Ah={ah} Al={al}")
+    reader = _BitReader(data, start)
+    pred = {cid: 0 for (cid, _d, _a) in scan_comps}
+    rst = 0
+    eobrun = 0
+    count = 0
+    for unit in _scan_units(frame, scan_comps):
+        if restart_interval and count and count % restart_interval == 0:
+            reader.restart_sync(rst)
+            rst = (rst + 1) & 7
+            pred = {cid: 0 for cid in pred}
+            eobrun = 0
+        for (cid, by, bx, dc_t, ac_t) in unit:
+            block = coeffs[cid][by, bx]
+            if ss == 0:
+                if ah == 0:  # DC first: value << Al
+                    t = huff_dc[dc_t].decode(reader)
+                    if t > 11:
+                        raise ValueError(f"DC category {t} out of range")
+                    pred[cid] += _extend(reader.receive(t), t)
+                    block[0] = pred[cid] << al
+                else:  # DC refinement: one raw bit (two's-complement OR)
+                    if reader.read_bit():
+                        block[0] = int(block[0]) | (1 << al)
+            elif ah == 0:
+                eobrun = _ac_first(
+                    reader, huff_ac[ac_t], block, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _ac_refine(
+                    reader, huff_ac[ac_t], block, ss, se, al, eobrun
+                )
+        count += 1
+    # skip the byte-boundary padding bits, land on the next marker
+    p = reader.pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and data[p + 1] != 0x00
+    ):
+        p += 1
+    return p
+
+
+def _ac_first(reader, ac_table, block, ss, se, al, eobrun) -> int:
+    """First AC pass for one block (T.81 G.2.2): run/size symbols with
+    EOB-run extension; coefficients land as ``value << Al``."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = ac_table.decode(reader)
+        r, s = sym >> 4, sym & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of band")
+            block[k] = _extend(reader.receive(s), s) << al
+            k += 1
+        elif r != 15:  # EOBn: run of (1 << r) + bits end-of-bands
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            return eobrun
+        else:  # ZRL
+            k += 16
+    return 0
+
+
+def _ac_refine(reader, ac_table, block, ss, se, al, eobrun) -> int:
+    """AC refinement pass (T.81 G.2.3 / figure G.7): every
+    already-nonzero coefficient crossed consumes a correction bit;
+    run/size symbols position NEWLY nonzero coefficients among the
+    zero-history ones only."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = ac_table.decode(reader)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r != 15:  # EOBn — refine the rest, then run down
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement magnitude must be 1")
+                s = p1 if reader.read_bit() else m1
+            while k <= se:
+                if block[k] != 0:
+                    if reader.read_bit() and (block[k] & p1) == 0:
+                        block[k] = int(block[k]) + (p1 if block[k] > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                block[k] = s
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k] != 0:
+                if reader.read_bit() and (block[k] & p1) == 0:
+                    block[k] = int(block[k]) + (p1 if block[k] > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_from_coeffs(frame, qt, coeffs):
+    """Pixels from the accumulated progressive coefficients — same
+    dequantize -> IDCT -> upsample -> color math as the baseline path
+    (`_planes_to_pixels`)."""
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("zero-area JPEG")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = {}
+    for (cid, hi, vi, tq) in comps:
+        if tq not in qt:
+            raise ValueError(f"missing quant table {tq}")
+        arr = coeffs[cid]
+        nby, nbx = arr.shape[0], arr.shape[1]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                deq = _dezigzag(arr[by, bx] * qt[tq])
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct2(deq)
+        planes[cid] = plane
+    return _planes_to_pixels(frame, planes, hmax, vmax)
 
 
 # ------------------------------------------------------------- encoder
@@ -497,6 +733,226 @@ def encode_jpeg_from_coeffs(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+_PROG_AC_SYMBOLS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+
+def _prog_dht_payload() -> tuple[bytes, dict[int, tuple[int, int]], dict[int, tuple[int, int]]]:
+    """Progressive fixture tables: the AC set must also contain the
+    EOBn symbols (r<<4 for r=0..14) baseline never uses, so the full
+    176-symbol grid goes in at 8 bits each (codes 0..175 — the all-ones
+    code stays reserved, as T.81 requires)."""
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    ac_counts = [0] * 16
+    ac_counts[7] = len(_PROG_AC_SYMBOLS)
+    dc_codes = _canonical_codes(dc_counts, DC_SYMBOLS)
+    ac_codes = _canonical_codes(ac_counts, _PROG_AC_SYMBOLS)
+    seg = (
+        bytes([0x00]) + bytes(dc_counts) + bytes(DC_SYMBOLS)
+        + bytes([0x10]) + bytes(ac_counts) + bytes(_PROG_AC_SYMBOLS)
+    )
+    return seg, dc_codes, ac_codes
+
+
+class _ProgACEncoder:
+    """Per-scan AC entropy state (T.81 G.1.2.2-3): an EOB run counter
+    plus the correction bits that ride with it (``pending``), separate
+    from the bits buffered inside the current block — the same split
+    libjpeg keeps as BE vs BR, because the decoder consumes the former
+    right after the EOBn symbol and the latter right after the next
+    in-block symbol."""
+
+    def __init__(self, writer: "_BitWriter", ac_codes):
+        self.w = writer
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun == 0:
+            return
+        nbits = self.eobrun.bit_length() - 1
+        code, length = self.ac[nbits << 4]
+        self.w.write(code, length)
+        if nbits:
+            self.w.write(self.eobrun & ((1 << nbits) - 1), nbits)
+        for b in self.pending:
+            self.w.write(b, 1)
+        self.pending = []
+        self.eobrun = 0
+
+    def block_first(self, block, ss, se, al) -> None:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(block[k])
+            t = abs(v) >> al  # point transform: magnitude shift (G.1.2.2)
+            if t == 0:
+                r += 1
+                continue
+            self.emit_eobrun()
+            while r > 15:
+                code, length = self.ac[0xF0]
+                self.w.write(code, length)
+                r -= 16
+            nbits = t.bit_length()
+            if nbits > 10:
+                raise ValueError(f"AC coefficient {v} exceeds range")
+            code, length = self.ac[(r << 4) | nbits]
+            self.w.write(code, length)
+            self.w.write(_mag_bits(t if v > 0 else -t, nbits), nbits)
+            r = 0
+        if r > 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.emit_eobrun()
+
+    def block_refine(self, block, ss, se, al) -> None:
+        absval = [0] * 64
+        eob = ss - 1  # position of the last NEWLY-nonzero coefficient
+        for k in range(ss, se + 1):
+            t = abs(int(block[k])) >> al
+            absval[k] = t
+            if t == 1:
+                eob = k
+        r = 0
+        br: list[int] = []  # current block's buffered correction bits
+        for k in range(ss, se + 1):
+            t = absval[k]
+            if t == 0:
+                r += 1
+                continue
+            # ZRLs not foldable into the EOB must go out BEFORE this
+            # coefficient is handled (libjpeg's r>15 fold rule)
+            while r > 15 and k <= eob:
+                self.emit_eobrun()
+                code, length = self.ac[0xF0]
+                self.w.write(code, length)
+                r -= 16
+                for b in br:
+                    self.w.write(b, 1)
+                br = []
+            if t > 1:  # already nonzero: correction bit only, run intact
+                br.append(t & 1)
+                continue
+            self.emit_eobrun()
+            code, length = self.ac[(r << 4) | 1]
+            self.w.write(code, length)
+            self.w.write(1 if int(block[k]) > 0 else 0, 1)
+            for b in br:
+                self.w.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.pending.extend(br)
+            if self.eobrun == 0x7FFF:
+                self.emit_eobrun()
+
+
+def encode_progressive_jpeg_from_coeffs(
+    width: int,
+    height: int,
+    components: list[dict],
+    quant_tables: dict[int, list[int]],
+    scans: list[dict],
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) JPEG bytes from quantized coefficient blocks.
+
+    Same ``components``/``quant_tables`` contract as
+    ``encode_jpeg_from_coeffs``; ``scans`` is the emission-ordered list
+    of scan scripts ``{"comps": [cid, ...], "ss": int, "se": int,
+    "ah": int, "al": int}``.  The caller owns T.81 G.1.1 legality (DC
+    before AC per component, AC scans single-component, refinements
+    Ah == Al+1 over an identical band); this packer just encodes what
+    it is told, so tests can also craft deliberately bad scan scripts.
+    """
+    zz = {}
+    for c in components:
+        nby, nbx = len(c["blocks"]), len(c["blocks"][0])
+        arr = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                arr[by, bx] = _zigzag(
+                    np.asarray(c["blocks"][by][bx], dtype=np.int64)
+                )
+        zz[c["id"]] = arr
+    out = bytearray(b"\xff\xd8")
+    for tq, vals in sorted(quant_tables.items()):
+        body = bytes([tq]) + bytes(vals)
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([len(components)])
+    for c in components:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht, dc_codes, ac_codes = _prog_dht_payload()
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", restart_interval)
+    frame = (
+        height,
+        width,
+        [(c["id"], c["h"], c["v"], c["tq"]) for c in components],
+    )
+    for scan in scans:
+        sos = bytes([len(scan["comps"])])
+        for cid in scan["comps"]:
+            sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+        sos += bytes([scan["ss"], scan["se"], (scan["ah"] << 4) | scan["al"]])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += _encode_prog_scan_entropy(
+            frame, zz, scan, dc_codes, ac_codes, restart_interval
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_prog_scan_entropy(
+    frame, zz, scan, dc_codes, ac_codes, restart_interval
+) -> bytes:
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    scan_comps = [(cid, 0, 0) for cid in scan["comps"]]
+    out = bytearray()
+    writer = _BitWriter()
+    state = _ProgACEncoder(writer, ac_codes)
+    pred = {cid: 0 for cid in scan["comps"]}
+    rst = 0
+    count = 0
+    for unit in _scan_units(frame, scan_comps):
+        if restart_interval and count and count % restart_interval == 0:
+            state.emit_eobrun()
+            writer.flush()
+            out += writer.out
+            writer = _BitWriter()
+            state.w = writer
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            pred = {cid: 0 for cid in pred}
+        for (cid, by, bx, _dc_t, _ac_t) in unit:
+            block = zz[cid][by, bx]
+            if ss == 0:
+                if ah == 0:  # DC first: arithmetic-shift point transform
+                    v = int(block[0]) >> al
+                    diff = v - pred[cid]
+                    pred[cid] = v
+                    t = _category(diff)
+                    code, length = dc_codes[t]
+                    writer.write(code, length)
+                    if t:
+                        writer.write(_mag_bits(diff, t), t)
+                else:  # DC refinement: next lower bit, raw
+                    writer.write((int(block[0]) >> al) & 1, 1)
+            elif ah == 0:
+                state.block_first(block, ss, se, al)
+            else:
+                state.block_refine(block, ss, se, al)
+        count += 1
+    state.emit_eobrun()
+    writer.flush()
+    out += writer.out
     return bytes(out)
 
 

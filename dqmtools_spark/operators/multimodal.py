@@ -3,10 +3,10 @@
 The Spark-side plumbing is real — schemas, Arrow batch shapes,
 ``mapInPandas`` signatures, partition sizing — and TWO codec paths are
 real end-to-end: PNG decode via the pure-Python inflate+unfilter codec
-(``functions/pngcodec.py``) and baseline-JPEG decode via the
-pure-Python Huffman+IDCT codec (``functions/jpegcodec.py``), both
-feeding actual pixel statistics into the feature vector
-(``stub=False``).  The remaining formats (progressive JPEG, GIF
+(``functions/pngcodec.py``) and JPEG decode (baseline SOF0 AND
+progressive SOF2) via the pure-Python Huffman+IDCT codec
+(``functions/jpegcodec.py``), both feeding actual pixel statistics
+into the feature vector (``stub=False``).  The remaining formats (GIF
 pixels, audio, video) stay honestly stubbed — ``decode_media_meta``
 parses their real headers, ``extract_features(stub=True)`` emits a
 seeded deterministic fake embedding; swapping in Pillow/torchaudio is
@@ -155,10 +155,11 @@ def _pixels_to_features(w: int, h: int, c: int, pix: bytes) -> np.ndarray | None
 
 
 def jpeg_pixel_features(payload: bytes) -> np.ndarray | None:
-    """REAL feature vector from actual baseline-JPEG pixels
-    (pure-Python decoder, ``functions/jpegcodec.py``) — same layout as
+    """REAL feature vector from actual JPEG pixels — baseline SOF0 and
+    progressive SOF2 both decode (pure-Python decoder,
+    ``functions/jpegcodec.py``) — same layout as
     :func:`png_pixel_features`.  Returns None for malformed payloads
-    AND for valid-but-unsupported variants (progressive, 12-bit,
+    AND for valid-but-unsupported variants (arithmetic-coded, 12-bit,
     CMYK): one undecodable row must never fail the job."""
     from dqmtools_spark.functions.jpegcodec import decode_jpeg
 
@@ -170,9 +171,10 @@ def jpeg_pixel_features(payload: bytes) -> np.ndarray | None:
 
 
 def pixel_features(payload: bytes) -> np.ndarray | None:
-    """Format-dispatching real decode: PNG and baseline JPEG decode to
-    actual pixels; everything else (GIF pixels, audio, video) yields
-    the null feature — the honestly-stubbed remainder."""
+    """Format-dispatching real decode: PNG and JPEG (baseline +
+    progressive) decode to actual pixels; everything else (GIF pixels,
+    audio, video) yields the null feature — the honestly-stubbed
+    remainder."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return png_pixel_features(payload)
     if payload[:2] == b"\xff\xd8":
@@ -186,11 +188,12 @@ def extract_features(df: DataFrame, stub: bool = True) -> DataFrame:
     ``stub=True`` emits a DETERMINISTIC FAKE feature (seeded
     hash-derived vector) for every payload — the fully-uniform path for
     plan/shape testing.  ``stub=False`` runs the REAL decoders for PNG
-    (pure-Python inflate + unfilter) and baseline-JPEG (pure-Python
-    Huffman + IDCT) payloads — see :func:`pixel_features` — and yields
-    null features for formats this container cannot decode (progressive
-    JPEG, GIF pixels, audio, video need external codec libraries — that
-    remainder is the honestly-stubbed part).  The Spark plan
+    (pure-Python inflate + unfilter) and JPEG — baseline and
+    progressive (pure-Python Huffman + IDCT) — payloads, see
+    :func:`pixel_features`, and yields null features for formats this
+    container cannot decode (GIF pixels, audio, video need external
+    codec libraries — that remainder is the honestly-stubbed part).
+    The Spark plan
     (partition-parallel mapInPandas, Arrow batches, array<float>
     output) is identical in both modes.
     """

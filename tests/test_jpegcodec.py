@@ -18,6 +18,7 @@ from dqmtools_spark.functions.jpegcodec import (
     ZIGZAG,
     decode_jpeg,
     encode_jpeg_from_coeffs,
+    encode_progressive_jpeg_from_coeffs,
 )
 
 
@@ -215,10 +216,16 @@ def test_unsupported_and_malformed_raise_cleanly():
         decode_jpeg(b"\x00\x01")
     with pytest.raises(ValueError):
         decode_jpeg(good[: len(good) // 2])  # truncated entropy stream
-    prog = bytearray(good)
-    sof = prog.index(b"\xff\xc0")
-    prog[sof + 1] = 0xC2  # flip to progressive
+    arith = bytearray(good)
+    sof = arith.index(b"\xff\xc0")
+    arith[sof + 1] = 0xC9  # flip to arithmetic-coded sequential
     with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(arith))
+    # a baseline full-band scan header is ILLEGAL under SOF2 (a
+    # progressive DC scan must have Se=0) — malformed, not unsupported
+    prog = bytearray(good)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(prog))
 
 
@@ -246,5 +253,184 @@ def test_multimodal_guard_decodes_jpeg_payloads(spark):
     want = np.clip(
         np.round(_ref_plane(blocks, REAL_QT, 2, 2) + 128.0), 0, 255
     ).astype(np.uint8)
+    assert feat[0] == 16.0 and feat[1] == 16.0 and feat[2] == 1.0
+    assert abs(feat[3] - want.mean()) < 1e-5
+
+
+# ------------------------------------------------- progressive (SOF2)
+#
+# The progressive decoder accumulates coefficients across scans and
+# reconstructs pixels once, through the SAME dequantize/IDCT/color tail
+# as baseline — so ground truth stays the independent numpy
+# reconstruction, and every scan script refined down to Al=0 must land
+# on EXACTLY the baseline pixels.
+
+_GRAY_SCANS = [
+    {"comps": [1], "ss": 0, "se": 0, "ah": 0, "al": 1},    # DC first
+    {"comps": [1], "ss": 0, "se": 0, "ah": 1, "al": 0},    # DC refine
+    {"comps": [1], "ss": 1, "se": 5, "ah": 0, "al": 2},    # AC low band
+    {"comps": [1], "ss": 6, "se": 63, "ah": 0, "al": 2},   # AC high band
+    {"comps": [1], "ss": 1, "se": 5, "ah": 2, "al": 1},    # AC refine x2
+    {"comps": [1], "ss": 6, "se": 63, "ah": 2, "al": 1},
+    {"comps": [1], "ss": 1, "se": 5, "ah": 1, "al": 0},
+    {"comps": [1], "ss": 6, "se": 63, "ah": 1, "al": 0},
+]
+
+
+def test_progressive_grayscale_pixel_exact_vs_independent_idct():
+    rng = np.random.default_rng(23)
+    ny, nx = 3, 4
+    blocks = _rand_blocks(rng, ny, nx, dense=True)
+    payload = encode_progressive_jpeg_from_coeffs(
+        nx * 8, ny * 8,
+        [{"id": 1, "h": 1, "v": 1, "tq": 0, "blocks": blocks}],
+        {0: REAL_QT},
+        _GRAY_SCANS,
+    )
+    w, h, c, pix = decode_jpeg(payload)
+    assert (w, h, c) == (nx * 8, ny * 8, 1)
+    got = np.frombuffer(pix, dtype=np.uint8).reshape(h, w)
+    want = np.clip(
+        np.round(_ref_plane(blocks, REAL_QT, ny, nx) + 128.0), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_progressive_color_420_interleaved_dc_noninterleaved_ac():
+    """4:2:0 with an interleaved DC scan, per-component AC band scans,
+    and successive-approximation refinement to Al=0: decode must be
+    byte-identical to the baseline encoding of the same coefficients.
+
+    24x24 at 2x2 luma sampling also pins the scan-geometry split: the
+    MCU-padded luma grid is 4x4 blocks but non-interleaved AC scans
+    walk only the component's own ceil(24/8)=3x3 grid (T.81 A.2.2) —
+    an off-by-one there shifts every following block and cannot cancel.
+    """
+    rng = np.random.default_rng(31)
+    luma = _rand_blocks(rng, 4, 4)
+    for by in range(4):  # padding blocks are never AC-coded: keep zero
+        for bx in range(4):
+            if by == 3 or bx == 3:
+                luma[by][bx] = np.zeros((8, 8), dtype=int)
+    cbb = _rand_blocks(rng, 2, 2)
+    crb = _rand_blocks(rng, 2, 2)
+    comps = [
+        {"id": 1, "h": 2, "v": 2, "tq": 0, "blocks": luma},
+        {"id": 2, "h": 1, "v": 1, "tq": 1, "blocks": cbb},
+        {"id": 3, "h": 1, "v": 1, "tq": 1, "blocks": crb},
+    ]
+    qts = {0: REAL_QT, 1: FLAT_QT}
+    scans = [
+        {"comps": [1, 2, 3], "ss": 0, "se": 0, "ah": 0, "al": 2},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 0, "al": 1},
+        {"comps": [3], "ss": 1, "se": 20, "ah": 0, "al": 1},
+        {"comps": [2], "ss": 1, "se": 63, "ah": 0, "al": 1},
+        {"comps": [3], "ss": 21, "se": 63, "ah": 0, "al": 1},
+        {"comps": [1, 2, 3], "ss": 0, "se": 0, "ah": 2, "al": 1},
+        {"comps": [1, 2, 3], "ss": 0, "se": 0, "ah": 1, "al": 0},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 1, "al": 0},
+        {"comps": [2], "ss": 1, "se": 63, "ah": 1, "al": 0},
+        {"comps": [3], "ss": 1, "se": 20, "ah": 1, "al": 0},
+        {"comps": [3], "ss": 21, "se": 63, "ah": 1, "al": 0},
+    ]
+    base = decode_jpeg(encode_jpeg_from_coeffs(24, 24, comps, qts))
+    prog = decode_jpeg(
+        encode_progressive_jpeg_from_coeffs(24, 24, comps, qts, scans)
+    )
+    assert base == prog
+
+
+def test_progressive_eob_runs_and_correction_bits():
+    """Mostly-empty blocks force multi-block EOB runs in the first AC
+    scans, and the refinement passes then exercise the correction-bit
+    buffering (bits riding with EOBn vs with in-block symbols)."""
+    rng = np.random.default_rng(5)
+    blocks = []
+    for by in range(8):
+        row = []
+        for bx in range(8):
+            b = np.zeros((8, 8), dtype=int)
+            if rng.random() > 0.85:  # ~15% of blocks carry content
+                b[0, 0] = int(rng.integers(-100, 100))
+                for _ in range(int(rng.integers(1, 6))):
+                    b[int(rng.integers(0, 8)), int(rng.integers(0, 8))] = int(
+                        rng.integers(-60, 60)
+                    )
+            row.append(b)
+        blocks.append(row)
+    comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "blocks": blocks}]
+    scans = [
+        {"comps": [1], "ss": 0, "se": 0, "ah": 0, "al": 3},
+        {"comps": [1], "ss": 0, "se": 0, "ah": 3, "al": 2},
+        {"comps": [1], "ss": 0, "se": 0, "ah": 2, "al": 1},
+        {"comps": [1], "ss": 0, "se": 0, "ah": 1, "al": 0},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 0, "al": 3},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 3, "al": 2},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 2, "al": 1},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 1, "al": 0},
+    ]
+    base = decode_jpeg(encode_jpeg_from_coeffs(64, 64, comps, {0: FLAT_QT}))
+    prog = decode_jpeg(
+        encode_progressive_jpeg_from_coeffs(64, 64, comps, {0: FLAT_QT}, scans)
+    )
+    assert base == prog
+
+
+def test_progressive_restart_markers_reset_predictor_and_eobrun():
+    rng = np.random.default_rng(13)
+    blocks = _rand_blocks(rng, 2, 6)
+    comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "blocks": blocks}]
+    plain = decode_jpeg(
+        encode_progressive_jpeg_from_coeffs(48, 16, comps, {0: FLAT_QT}, _GRAY_SCANS)
+    )
+    for ri in (2, 3, 5):
+        rst = decode_jpeg(
+            encode_progressive_jpeg_from_coeffs(
+                48, 16, comps, {0: FLAT_QT}, _GRAY_SCANS, restart_interval=ri
+            )
+        )
+        assert rst == plain
+
+
+def test_progressive_dc_only_prefix_decodes_coarse():
+    """A truncated scan script (DC-first only) is a VALID progressive
+    stream — each block must come out flat at (dc*q >> al << al)/8
+    precision, matching the closed form."""
+    blocks = [[np.zeros((8, 8), dtype=int), np.zeros((8, 8), dtype=int)]]
+    blocks[0][0][0, 0] = 37
+    blocks[0][1][0, 0] = -21
+    payload = encode_progressive_jpeg_from_coeffs(
+        16, 8,
+        [{"id": 1, "h": 1, "v": 1, "tq": 0, "blocks": blocks}],
+        {0: FLAT_QT},
+        [{"comps": [1], "ss": 0, "se": 0, "ah": 0, "al": 1}],
+    )
+    w, h, c, pix = decode_jpeg(payload)
+    got = np.frombuffer(pix, dtype=np.uint8).reshape(8, 16)
+    for bx, dc in ((0, 37), (1, -21)):
+        coarse = (dc >> 1) << 1  # DC-first at Al=1: low bit not yet sent
+        want = np.clip(round(coarse / 8.0) + 128, 0, 255)
+        assert (got[:, bx * 8 : bx * 8 + 8] == want).all()
+
+
+def test_multimodal_guard_decodes_progressive_jpeg(spark):
+    """stub=False feature extraction yields REAL features for
+    progressive payloads now — same layout as baseline."""
+    rng = np.random.default_rng(29)
+    blocks = _rand_blocks(rng, 2, 2)
+    comp = [{"id": 1, "h": 1, "v": 1, "tq": 0, "blocks": blocks}]
+    prog = encode_progressive_jpeg_from_coeffs(
+        16, 16, comp, {0: REAL_QT}, _GRAY_SCANS
+    )
+    from dqmtools_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(prog), "image/jpeg")], MEDIA_SCHEMA
+    )
+    feat = extract_features(df, stub=False).collect()[0]["feature"]
+    want = np.clip(
+        np.round(_ref_plane(blocks, REAL_QT, 2, 2) + 128.0), 0, 255
+    ).astype(np.uint8)
+    assert feat is not None and len(feat) == 16
     assert feat[0] == 16.0 and feat[1] == 16.0 and feat[2] == 1.0
     assert abs(feat[3] - want.mean()) < 1e-5
