@@ -1,16 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + metadata.
 
 The Spark-side plumbing is real — schemas, Arrow batch shapes,
-``mapInPandas`` signatures, partition sizing — and TWO codec paths are
-real end-to-end: PNG decode via the pure-Python inflate+unfilter codec
-(``functions/pngcodec.py``) and JPEG decode (baseline SOF0 AND
+``mapInPandas`` signatures, partition sizing — and THREE codec paths
+are real end-to-end: PNG decode via the pure-Python inflate+unfilter
+codec (``functions/pngcodec.py``), JPEG decode (baseline SOF0 AND
 progressive SOF2) via the pure-Python Huffman+IDCT codec
-(``functions/jpegcodec.py``), both feeding actual pixel statistics
-into the feature vector (``stub=False``).  The remaining formats (GIF
-pixels, audio, video) stay honestly stubbed — ``decode_media_meta``
-parses their real headers, ``extract_features(stub=True)`` emits a
-seeded deterministic fake embedding; swapping in Pillow/torchaudio is
-a one-function change inside the same UDF seam.
+(``functions/jpegcodec.py``), and GIF decode (87a/89a, full LZW,
+interlace, transparency compositing) via ``functions/gifcodec.py`` —
+all feeding actual pixel statistics into the feature vector
+(``stub=False``).  The remaining formats (audio, video) stay honestly
+stubbed — ``decode_media_meta`` parses their real headers,
+``extract_features(stub=True)`` emits a seeded deterministic fake
+embedding; swapping in torchaudio/ffmpeg is a one-function change
+inside the same UDF seam.
 
 Analog: the reference's waveform handling — opaque per-row arrays
 decoded by external unpackers (``dump_pds_ana_info.py:125-163``).
@@ -170,15 +172,32 @@ def jpeg_pixel_features(payload: bytes) -> np.ndarray | None:
     return _pixels_to_features(w, h, c, pix)
 
 
+def gif_pixel_features(payload: bytes) -> np.ndarray | None:
+    """REAL feature vector from actual GIF pixels — first frame
+    composited onto the logical screen (pure-Python LZW decoder,
+    ``functions/gifcodec.py``) — same layout as
+    :func:`png_pixel_features`.  Returns None for malformed payloads:
+    one undecodable row must never fail the job."""
+    from dqmtools_spark.functions.gifcodec import decode_gif
+
+    try:
+        w, h, c, pix = decode_gif(payload)
+    except (ValueError, NotImplementedError, struct.error, IndexError):
+        return None
+    return _pixels_to_features(w, h, c, pix)
+
+
 def pixel_features(payload: bytes) -> np.ndarray | None:
-    """Format-dispatching real decode: PNG and JPEG (baseline +
-    progressive) decode to actual pixels; everything else (GIF pixels,
-    audio, video) yields the null feature — the honestly-stubbed
+    """Format-dispatching real decode: PNG, JPEG (baseline +
+    progressive) and GIF decode to actual pixels; everything else
+    (audio, video) yields the null feature — the honestly-stubbed
     remainder."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return png_pixel_features(payload)
     if payload[:2] == b"\xff\xd8":
         return jpeg_pixel_features(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_pixel_features(payload)
     return None
 
 
@@ -188,11 +207,11 @@ def extract_features(df: DataFrame, stub: bool = True) -> DataFrame:
     ``stub=True`` emits a DETERMINISTIC FAKE feature (seeded
     hash-derived vector) for every payload — the fully-uniform path for
     plan/shape testing.  ``stub=False`` runs the REAL decoders for PNG
-    (pure-Python inflate + unfilter) and JPEG — baseline and
-    progressive (pure-Python Huffman + IDCT) — payloads, see
-    :func:`pixel_features`, and yields null features for formats this
-    container cannot decode (GIF pixels, audio, video need external
-    codec libraries — that remainder is the honestly-stubbed part).
+    (pure-Python inflate + unfilter), JPEG — baseline and progressive
+    (pure-Python Huffman + IDCT) — and GIF (pure-Python LZW) payloads,
+    see :func:`pixel_features`, and yields null features for formats
+    this container cannot decode (audio, video need external codec
+    libraries — that remainder is the honestly-stubbed part).
     The Spark plan
     (partition-parallel mapInPandas, Arrow batches, array<float>
     output) is identical in both modes.
