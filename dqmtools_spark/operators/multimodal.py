@@ -1,18 +1,20 @@
 """Multimodal columns: image/audio/video as opaque binary + metadata.
 
 The Spark-side plumbing is real — schemas, Arrow batch shapes,
-``mapInPandas`` signatures, partition sizing — and THREE codec paths
+``mapInPandas`` signatures, partition sizing — and FOUR codec paths
 are real end-to-end: PNG decode via the pure-Python inflate+unfilter
 codec (``functions/pngcodec.py``), JPEG decode (baseline SOF0 AND
 progressive SOF2) via the pure-Python Huffman+IDCT codec
-(``functions/jpegcodec.py``), and GIF decode (87a/89a, full LZW,
-interlace, transparency compositing) via ``functions/gifcodec.py`` —
-all feeding actual pixel statistics into the feature vector
-(``stub=False``).  The remaining formats (audio, video) stay honestly
-stubbed — ``decode_media_meta`` parses their real headers,
-``extract_features(stub=True)`` emits a seeded deterministic fake
-embedding; swapping in torchaudio/ffmpeg is a one-function change
-inside the same UDF seam.
+(``functions/jpegcodec.py``), GIF decode (87a/89a, full LZW,
+interlace, transparency compositing) via ``functions/gifcodec.py``,
+and WAV audio decode (integer/float PCM + G.711 mu-law/A-law) via
+``functions/wavcodec.py`` — images feed actual pixel statistics and
+WAV feeds actual signal statistics into the feature vector
+(``stub=False``).  The remaining formats (compressed audio, video)
+stay honestly stubbed — ``decode_media_meta`` parses their real
+headers, ``extract_features(stub=True)`` emits a seeded deterministic
+fake embedding; swapping in torchaudio/ffmpeg is a one-function
+change inside the same UDF seam.
 
 Analog: the reference's waveform handling — opaque per-row arrays
 decoded by external unpackers (``dump_pds_ana_info.py:125-163``).
@@ -61,7 +63,7 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def _parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | None]:
-    """Deterministic header sniff for PNG / JPEG / GIF; None otherwise.
+    """Deterministic header sniff for PNG / JPEG / GIF / WAV; None otherwise.
 
     Real byte-level parsing (this part needs no codec library); full
     pixel decode is the stubbed step.
@@ -74,6 +76,8 @@ def _parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | 
     if b[:3] == b"GIF" and len(b) >= 10:
         w, h = struct.unpack("<HH", b[6:10])
         return "gif", int(w), int(h)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav", None, None
     if b[:2] == b"\xff\xd8":
         # walk JPEG segments for SOF0/2
         i = 2
@@ -172,6 +176,21 @@ def jpeg_pixel_features(payload: bytes) -> np.ndarray | None:
     return _pixels_to_features(w, h, c, pix)
 
 
+def wav_audio_features(payload: bytes) -> np.ndarray | None:
+    """REAL feature vector from decoded WAV samples (pure-Python
+    RIFF/PCM/G.711 decoder, ``functions/wavcodec.py``): [duration_sec,
+    sample_rate, channels, rms, zcr, spectral_centroid, rolloff85,
+    peak] + 8-bin RMS envelope — same FEATURE_DIM slot as the image
+    vectors, audio semantics.  Returns None for malformed payloads and
+    compressed codecs (ADPCM/MP3-in-WAV)."""
+    from dqmtools_spark.functions.wavcodec import wav_features
+
+    try:
+        return wav_features(payload)
+    except (ValueError, NotImplementedError, struct.error, IndexError):
+        return None
+
+
 def gif_pixel_features(payload: bytes) -> np.ndarray | None:
     """REAL feature vector from actual GIF pixels — first frame
     composited onto the logical screen (pure-Python LZW decoder,
@@ -189,15 +208,18 @@ def gif_pixel_features(payload: bytes) -> np.ndarray | None:
 
 def pixel_features(payload: bytes) -> np.ndarray | None:
     """Format-dispatching real decode: PNG, JPEG (baseline +
-    progressive) and GIF decode to actual pixels; everything else
-    (audio, video) yields the null feature — the honestly-stubbed
-    remainder."""
+    progressive) and GIF decode to actual pixels; WAV audio decodes to
+    real signal statistics (same 16-dim feature slot, audio
+    semantics); everything else (compressed audio, video) yields the
+    null feature — the honestly-stubbed remainder."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return png_pixel_features(payload)
     if payload[:2] == b"\xff\xd8":
         return jpeg_pixel_features(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return gif_pixel_features(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return wav_audio_features(payload)
     return None
 
 
@@ -210,7 +232,7 @@ def extract_features(df: DataFrame, stub: bool = True) -> DataFrame:
     (pure-Python inflate + unfilter), JPEG — baseline and progressive
     (pure-Python Huffman + IDCT) — and GIF (pure-Python LZW) payloads,
     see :func:`pixel_features`, and yields null features for formats
-    this container cannot decode (audio, video need external codec
+    this container cannot decode (compressed audio, video need external codec
     libraries — that remainder is the honestly-stubbed part).
     The Spark plan
     (partition-parallel mapInPandas, Arrow batches, array<float>
