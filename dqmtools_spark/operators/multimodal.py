@@ -1,20 +1,23 @@
 """Multimodal columns: image/audio/video as opaque binary + metadata.
 
 The Spark-side plumbing is real — schemas, Arrow batch shapes,
-``mapInPandas`` signatures, partition sizing — and FOUR codec paths
+``mapInPandas`` signatures, partition sizing — and FIVE codec paths
 are real end-to-end: PNG decode via the pure-Python inflate+unfilter
 codec (``functions/pngcodec.py``), JPEG decode (baseline SOF0 AND
 progressive SOF2) via the pure-Python Huffman+IDCT codec
 (``functions/jpegcodec.py``), GIF decode (87a/89a, full LZW,
 interlace, transparency compositing) via ``functions/gifcodec.py``,
-and WAV audio decode (integer/float PCM + G.711 mu-law/A-law) via
-``functions/wavcodec.py`` — images feed actual pixel statistics and
-WAV feeds actual signal statistics into the feature vector
-(``stub=False``).  The remaining formats (compressed audio, video)
-stay honestly stubbed — ``decode_media_meta`` parses their real
-headers, ``extract_features(stub=True)`` emits a seeded deterministic
-fake embedding; swapping in torchaudio/ffmpeg is a one-function
-change inside the same UDF seam.
+WAV audio decode (integer/float PCM + G.711 mu-law/A-law) via
+``functions/wavcodec.py``, and MJPEG-AVI video via
+``functions/avicodec.py`` (RIFF walk + frame sampling through the
+in-repo JPEG decoder) — images feed actual pixel statistics, WAV
+actual signal statistics, video actual sampled-frame statistics into
+the feature vector (``stub=False``).  The remaining formats
+(compressed audio, non-MJPEG video) stay honestly stubbed —
+``decode_media_meta`` parses their real headers,
+``extract_features(stub=True)`` emits a seeded deterministic fake
+embedding; swapping in torchaudio/ffmpeg is a one-function change
+inside the same UDF seam.
 
 Analog: the reference's waveform handling — opaque per-row arrays
 decoded by external unpackers (``dump_pds_ana_info.py:125-163``).
@@ -63,7 +66,8 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def _parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | None]:
-    """Deterministic header sniff for PNG / JPEG / GIF / WAV; None otherwise.
+    """Deterministic header sniff for PNG / JPEG / GIF / WAV / AVI;
+    None otherwise.
 
     Real byte-level parsing (this part needs no codec library); full
     pixel decode is the stubbed step.
@@ -78,6 +82,15 @@ def _parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | 
         return "gif", int(w), int(h)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav", None, None
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI " and len(b) >= 72:
+        # avih is the first chunk of the first LIST: dwWidth/dwHeight
+        # sit at fixed offsets 64/68 in a spec-shaped file; full
+        # parsing happens at decode time
+        try:
+            w, h = struct.unpack("<II", b[64:72])
+            return "avi", int(w) or None, int(h) or None
+        except struct.error:
+            return "avi", None, None
     if b[:2] == b"\xff\xd8":
         # walk JPEG segments for SOF0/2
         i = 2
@@ -191,6 +204,21 @@ def wav_audio_features(payload: bytes) -> np.ndarray | None:
         return None
 
 
+def avi_video_features(payload: bytes) -> np.ndarray | None:
+    """REAL feature vector from sampled MJPEG-AVI frames (pure-Python
+    RIFF walker + the in-repo JPEG decoder, ``functions/avicodec.py``):
+    [w, h, n_frames, fps, duration, n_sampled, mean/std luma,
+    mean/max |frame diff|] + 6-bin luma histogram — frame SAMPLING
+    (only the k sampled frames' bytes are decoded).  Returns None for
+    malformed containers and non-MJPEG codecs."""
+    from dqmtools_spark.functions.avicodec import avi_features
+
+    try:
+        return avi_features(payload)
+    except (ValueError, NotImplementedError, struct.error, IndexError):
+        return None
+
+
 def gif_pixel_features(payload: bytes) -> np.ndarray | None:
     """REAL feature vector from actual GIF pixels — first frame
     composited onto the logical screen (pure-Python LZW decoder,
@@ -220,6 +248,8 @@ def pixel_features(payload: bytes) -> np.ndarray | None:
         return gif_pixel_features(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return wav_audio_features(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return avi_video_features(payload)
     return None
 
 
@@ -230,11 +260,12 @@ def extract_features(df: DataFrame, stub: bool = True) -> DataFrame:
     hash-derived vector) for every payload — the fully-uniform path for
     plan/shape testing.  ``stub=False`` runs the REAL decoders for PNG
     (pure-Python inflate + unfilter), JPEG — baseline and progressive
-    (pure-Python Huffman + IDCT) — and GIF (pure-Python LZW) payloads,
-    see :func:`pixel_features`, and yields null features for formats
-    this container cannot decode (compressed audio, video need external codec
-    libraries — that remainder is the honestly-stubbed part).
-    The Spark plan
+    (pure-Python Huffman + IDCT) —, GIF (pure-Python LZW), WAV
+    (PCM/G.711) and MJPEG-AVI (RIFF + frame sampling) payloads, see
+    :func:`pixel_features`, and yields null features for formats this
+    container cannot decode (compressed audio, non-MJPEG video need
+    external codec libraries — that remainder is the honestly-stubbed
+    part).  The Spark plan
     (partition-parallel mapInPandas, Arrow batches, array<float>
     output) is identical in both modes.
     """
