@@ -82,6 +82,16 @@ def _parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | 
         return "gif", int(w), int(h)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav", None, None
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        # MP4/ISO-BMFF: real box-tree metadata (frame decode stays
+        # stubbed — H.264/AAC need external codecs)
+        from dqmtools_spark.functions.mp4meta import parse_mp4_meta
+
+        try:
+            w, h, _dur = parse_mp4_meta(b)
+            return "mp4", w, h
+        except (ValueError, struct.error, IndexError):
+            return "mp4", None, None
     if b[:4] == b"RIFF" and b[8:12] == b"AVI " and len(b) >= 72:
         # avih is the first chunk of the first LIST: dwWidth/dwHeight
         # sit at fixed offsets 64/68 in a spec-shaped file; full
