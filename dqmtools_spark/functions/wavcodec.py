@@ -127,14 +127,22 @@ def _decode_samples(body: bytes, tag: int, ch: int, sr: int, bits: int) -> np.nd
 
 
 def wav_features(data: bytes, n_hist: int = 8) -> np.ndarray:
+    """16-dim audio feature vector over decoded WAV samples — see
+    :func:`signal_features` for the layout."""
+    sr, ch, frames = decode_wav(data)
+    return signal_features(sr, frames, n_hist=n_hist)
+
+
+def signal_features(sr: int, frames: np.ndarray, n_hist: int = 8) -> np.ndarray:
     """16-dim audio feature vector: [duration_sec, sample_rate,
     channels, rms, zero_crossing_rate, spectral_centroid_hz,
     spectral_rolloff85_hz, peak] + ``n_hist``-bin RMS-over-time
     envelope (each bin the RMS of its time slice, normalized by peak
-    RMS) — all derived from the decoded samples with numpy only."""
-    sr, ch, frames = decode_wav(data)
+    RMS) — all derived from the decoded samples with numpy only.
+    ``frames``: float array (n, channels) in [-1, 1)."""
+    ch = frames.shape[1]
     if frames.shape[0] == 0:
-        raise ValueError("WAV has no frames")
+        raise ValueError("audio has no frames")
     mono = frames.mean(axis=1)
     n = mono.shape[0]
     rms = float(np.sqrt(np.mean(mono**2)))

@@ -1,23 +1,24 @@
 """Multimodal columns: image/audio/video as opaque binary + metadata.
 
 The Spark-side plumbing is real — schemas, Arrow batch shapes,
-``mapInPandas`` signatures, partition sizing — and FIVE codec paths
+``mapInPandas`` signatures, partition sizing — and SIX codec paths
 are real end-to-end: PNG decode via the pure-Python inflate+unfilter
 codec (``functions/pngcodec.py``), JPEG decode (baseline SOF0 AND
 progressive SOF2) via the pure-Python Huffman+IDCT codec
 (``functions/jpegcodec.py``), GIF decode (87a/89a, full LZW,
 interlace, transparency compositing) via ``functions/gifcodec.py``,
 WAV audio decode (integer/float PCM + G.711 mu-law/A-law) via
-``functions/wavcodec.py``, and MJPEG-AVI video via
-``functions/avicodec.py`` (RIFF walk + frame sampling through the
-in-repo JPEG decoder) — images feed actual pixel statistics, WAV
-actual signal statistics, video actual sampled-frame statistics into
-the feature vector (``stub=False``).  The remaining formats
-(compressed audio, non-MJPEG video) stay honestly stubbed —
-``decode_media_meta`` parses their real headers,
-``extract_features(stub=True)`` emits a seeded deterministic fake
-embedding; swapping in torchaudio/ffmpeg is a one-function change
-inside the same UDF seam.
+``functions/wavcodec.py``, FLAC audio decode (Rice/fixed/LPC, stereo
+decorrelation, CRC-verified) via ``functions/flaccodec.py``, and
+MJPEG-AVI video via ``functions/avicodec.py`` (RIFF walk + frame
+sampling through the in-repo JPEG decoder) — images feed actual pixel
+statistics, audio actual signal statistics, video actual
+sampled-frame statistics into the feature vector (``stub=False``).
+The remaining formats (lossy audio — MP3/AAC/Vorbis — and non-MJPEG
+video) stay honestly stubbed — ``decode_media_meta`` parses their
+real headers (incl. real MP4 box-tree dims), ``extract_features(
+stub=True)`` emits a seeded deterministic fake embedding; swapping in
+torchaudio/ffmpeg is a one-function change inside the same UDF seam.
 
 Analog: the reference's waveform handling — opaque per-row arrays
 decoded by external unpackers (``dump_pds_ana_info.py:125-163``).
@@ -82,6 +83,8 @@ def _parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | 
         return "gif", int(w), int(h)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav", None, None
+    if b[:4] == b"fLaC":
+        return "flac", None, None
     if len(b) >= 12 and b[4:8] == b"ftyp":
         # MP4/ISO-BMFF: real box-tree metadata (frame decode stays
         # stubbed — H.264/AAC need external codecs)
@@ -214,6 +217,19 @@ def wav_audio_features(payload: bytes) -> np.ndarray | None:
         return None
 
 
+def flac_audio_features(payload: bytes) -> np.ndarray | None:
+    """REAL feature vector from decoded FLAC samples (pure-Python
+    Rice/LPC decoder, ``functions/flaccodec.py``) — same 16-dim audio
+    layout as :func:`wav_audio_features`.  Returns None for malformed
+    payloads (CRC mismatches included)."""
+    from dqmtools_spark.functions.flaccodec import flac_features
+
+    try:
+        return flac_features(payload)
+    except (ValueError, NotImplementedError, struct.error, IndexError):
+        return None
+
+
 def avi_video_features(payload: bytes) -> np.ndarray | None:
     """REAL feature vector from sampled MJPEG-AVI frames (pure-Python
     RIFF walker + the in-repo JPEG decoder, ``functions/avicodec.py``):
@@ -260,6 +276,8 @@ def pixel_features(payload: bytes) -> np.ndarray | None:
         return wav_audio_features(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return avi_video_features(payload)
+    if payload[:4] == b"fLaC":
+        return flac_audio_features(payload)
     return None
 
 
