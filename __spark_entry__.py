@@ -795,6 +795,18 @@ def q_token_shards(spark, sf):
     return shard_summary(sharded)
 
 
+def q_dup_ngram_spans(spark, sf):
+    """ExactSubstr-style repeated-span signal (new in round 4): per
+    doc, the fraction of 5-word-gram positions whose gram occurs in
+    >= 2 distinct docs corpus-wide — md5-family hashes, full oracle
+    (`oracles.dup_ngram_spans_sql`)."""
+    from dqmtools_spark.operators.dedup import duplicated_ngram_spans
+
+    return duplicated_ngram_spans(
+        _t(spark, sf, "documents"), "text", "doc_id", n=5, min_docs=2
+    )
+
+
 def q_contamination(spark, sf):
     """Benchmark decontamination: corpus docs sharing an 8-word-gram
     with the 'eval set' (doc_id < 20), with distinct-gram counts —
@@ -1441,6 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   block 3 — the 50 proven green in CORRECTNESS_r03.json, ordered
     #             so the pipeline/LSH ones (most code churn) lead.
     return {
+        # ---- block 0: NEW in round 4, never driver-verified
+        "dup_ngram_spans": q_dup_ngram_spans,
         # ---- block 2: r2-vintage driver signal, re-prove on current code
         "quality_keep_summary": q_quality_keep_summary,
         "minhash_pairs": q_minhash_pairs,
@@ -1539,6 +1553,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_global_line_dedup": oracles.global_line_dedup_sql(chunk=4, min_chars=1),
         "token_shards": oracles.token_shards_sql(budget=2000),
         "contamination": oracles.contamination_sql(n=8, eval_max_id=20),
+        "dup_ngram_spans": oracles.dup_ngram_spans_sql(n=5, min_docs=2),
         "doc_top_bigram": oracles.doc_top_bigram_sql(),
         "pipeline_full": oracles.pipeline_result_sql(),
         "pipeline_staged_agg": oracles.pipeline_keep_agg_sql(),

@@ -700,6 +700,71 @@ def simhash_pairs(
     return _finish_eager(out, [sig]) if eager else out
 
 
+# -------------------------------------- cross-doc repeated n-gram spans
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style repeated-span SIGNAL (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better", the
+    n-gram-hash approximation of its suffix-array substring dedup):
+    per document, how many of its ``n``-word gram POSITIONS (with
+    multiplicity) carry a gram that also occurs in at least
+    ``min_docs`` DISTINCT documents corpus-wide.
+
+    Output: (id, n_grams, n_dup_grams, dup_fraction) — the fraction a
+    repeated-span filter thresholds on.  Docs with fewer than ``n``
+    words emit no grams and no row (strict contract, same as
+    decontamination's).
+
+    Plan shape at scale: gram hashes are computed map-side
+    (:func:`word_shingles` strict + multiplicity, md5/mod-p portable
+    family — the ONE oracle-checkable hash family); the corpus-wide
+    exchange carries (gram, doc) pairs ONCE for the distinct-doc
+    count (same O(corpus grams) class as :func:`global_line_dedup`,
+    AQE splits hot grams) and the hot-gram set comes back as a
+    broadcast-able join on the gram key — never a cartesian.  The
+    per-doc totals aggregate map-side.
+    """
+    from dqmtools_spark.functions.hashing import P31, md5_hash60
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                word_shingles(F.col(text_col), n, strict=True, distinct=False),
+                lambda s: md5_hash60(s) % P31,
+            )
+        ).alias("gh"),
+    )
+    hot = (
+        grams.dropDuplicates([id_col, "gh"])
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("gh")
+    )
+    per_doc = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    dup = (
+        grams.join(hot, "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    return (
+        per_doc.join(dup, id_col, "left")
+        .na.fill(0, ["n_dup_grams"])
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6),
+        )
+    )
+
+
 # ------------------------------------------ corpus-global line dedup
 
 

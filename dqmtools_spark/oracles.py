@@ -395,6 +395,41 @@ def contamination_sql(n: int, eval_max_id: int) -> str:
     """
 
 
+def dup_ngram_spans_sql(n: int = 8, min_docs: int = 2) -> str:
+    """Oracle for the ExactSubstr-style repeated-span signal: SAME
+    strict word shingles (with multiplicity) and md5/mod-p hashes as
+    ``dedup.duplicated_ngram_spans``; a gram is hot when >= min_docs
+    DISTINCT docs carry it; per-doc position counts and fraction."""
+    w = "REGEXP_EXTRACT_ALL(TRIM(text), '\\S+')"
+    gram_str = f"ARRAY_TO_STRING({w}[i:i + {n - 1}], ' ')"
+    grams = (
+        f"LIST_TRANSFORM(GENERATE_SERIES(1, LEN({w}) - {n - 1}), "
+        f"i -> {_md5h(gram_str)} % {P31})"
+    )
+    return f"""
+        WITH g AS (
+            SELECT doc_id, UNNEST({grams}) AS gh
+            FROM documents WHERE text IS NOT NULL
+        ),
+        hot AS (
+            SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+            GROUP BY gh HAVING COUNT(*) >= {int(min_docs)}
+        ),
+        per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+        dup AS (
+            SELECT g.doc_id, COUNT(*) AS n_dup_grams
+            FROM g JOIN hot ON g.gh = hot.gh
+            GROUP BY g.doc_id
+        )
+        SELECT p.doc_id,
+               CAST(p.n_grams AS BIGINT) AS n_grams,
+               CAST(COALESCE(d.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+               ROUND(COALESCE(d.n_dup_grams, 0) / CAST(p.n_grams AS DOUBLE), 6)
+                   AS dup_fraction
+        FROM per_doc p LEFT JOIN dup d USING (doc_id)
+    """
+
+
 def doc_top_bigram_sql() -> str:
     """Oracle for the Gopher top-bigram repetition signal: non-distinct
     word bigrams (multiplicity counted), per-doc argmax with

@@ -85,3 +85,52 @@ def test_fuzzy_guard_noop_when_no_hot_blocks(spark):
     ) == _pairs(blocked_levenshtein_pairs(df, **kw, max_block=None)) == [
         (1, 2, 2)
     ]
+
+
+def test_duplicated_ngram_spans_planted(spark):
+    """Planted repeated span: docs 0 and 1 share one exact 6-word
+    sentence inside otherwise-unique text; with n=5 the shared
+    sentence contributes exactly 2 in-sentence gram positions per doc,
+    and no unique-text gram may be flagged."""
+    from dqmtools_spark.operators.dedup import duplicated_ngram_spans
+
+    shared = "the exact same boilerplate sentence here"
+    rows = [
+        (0, f"alpha beta gamma delta {shared} unique tail zero aa bb"),
+        (1, f"one two three four five {shared} other ending words xx"),
+        (2, "completely different text with no overlap at all in it"),
+        (3, "short"),  # < n words: no grams, no row
+        (4, None),     # null text: no row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in duplicated_ngram_spans(df, "text", "doc_id", n=5).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    # 6-word shared span -> 6 - 5 + 1 = 2 fully-contained 5-gram positions
+    assert got[0]["n_dup_grams"] == 2 and got[1]["n_dup_grams"] == 2
+    assert got[2]["n_dup_grams"] == 0 and got[2]["dup_fraction"] == 0.0
+    for d in (0, 1):
+        n_words = len(rows[d][1].split())
+        assert got[d]["n_grams"] == n_words - 4
+        assert abs(got[d]["dup_fraction"] - 2 / (n_words - 4)) < 1e-6
+
+
+def test_duplicated_ngram_spans_multiplicity_and_plan(spark):
+    """A doc repeating its own gram twice counts both POSITIONS once
+    the gram is corpus-hot; the plan stays equi-join (no cartesian)."""
+    from dqmtools_spark.operators.dedup import duplicated_ngram_spans
+
+    s = "a b c d e"
+    rows = [(0, f"{s} x {s}"), (1, s)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicated_ngram_spans(df, "text", "doc_id", n=5)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc 0 has 7 gram positions, of which position 1 ("a b c d e")
+    # and position 7 (same gram again) are hot via doc 1
+    assert got[0]["n_grams"] == 7 and got[0]["n_dup_grams"] == 2
+    assert got[1]["n_grams"] == 1 and got[1]["n_dup_grams"] == 1
+    plan = explain_str(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
