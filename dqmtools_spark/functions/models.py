@@ -262,21 +262,31 @@ def train_arpa(
 
 
 def write_arpa(lm: ArpaLM, path: str) -> None:
-    """Serialize in the standard ARPA text format (``.gz`` aware)."""
-    opener = gzip.open if path.endswith(".gz") else open
-    with opener(path, "wt", encoding="utf-8") as f:
-        f.write("\\data\\\n")
-        for n in range(1, lm.order + 1):
-            f.write(f"ngram {n}={len(lm.table[n])}\n")
-        for n in range(1, lm.order + 1):
-            f.write(f"\n\\{n}-grams:\n")
-            for ng in sorted(lm.table[n]):
-                logp, bow = lm.table[n][ng]
-                line = f"{logp:.7f}\t{' '.join(ng)}"
-                if bow != 0.0:
-                    line += f"\t{bow:.7f}"
-                f.write(line + "\n")
-        f.write("\n\\end\\\n")
+    """Serialize in the standard ARPA text format (``.gz`` aware).
+
+    The gzip wrapper pins ``mtime=0`` and embeds no filename so
+    regeneration is byte-reproducible, not just content-reproducible
+    (a committed artifact must not churn on every retrain)."""
+    import io
+
+    f = io.StringIO()
+    f.write("\\data\\\n")
+    for n in range(1, lm.order + 1):
+        f.write(f"ngram {n}={len(lm.table[n])}\n")
+    for n in range(1, lm.order + 1):
+        f.write(f"\n\\{n}-grams:\n")
+        for ng in sorted(lm.table[n]):
+            logp, bow = lm.table[n][ng]
+            line = f"{logp:.7f}\t{' '.join(ng)}"
+            if bow != 0.0:
+                line += f"\t{bow:.7f}"
+            f.write(line + "\n")
+    f.write("\n\\end\\\n")
+    data = f.getvalue().encode("utf-8")
+    if path.endswith(".gz"):
+        data = gzip.compress(data, mtime=0)
+    with open(path, "wb") as out:
+        out.write(data)
 
 
 def load_arpa(path: str) -> ArpaLM:

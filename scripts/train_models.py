@@ -87,6 +87,57 @@ def main() -> None:
     if not ppl_en < ppl_other:
         raise SystemExit("LM does not separate in-domain from out-of-domain")
 
+    train_quality_classifier()
+
+
+def train_quality_classifier() -> None:
+    """Third artifact: ``quality_synth.bin`` — a fastText keep/drop
+    classifier DISTILLED from the heuristic rule suite (the
+    DCLM / FineWeb-Edu shape: heuristic labels teach a model, the
+    model then scores at scale).  The teacher is the INDEPENDENT
+    pandas reference labeler (``tests/reference_impl.py``), so the
+    student never sees the Spark implementation it is later compared
+    against."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from reference_impl import label_pages
+
+    n_pages, n_train = 4000, 3200
+    pdf = gen_pages_pdf(42, list(range(n_pages)))
+    lab = label_pages(pdf)
+    texts = lab["text_extracted"].tolist()
+    labels = ["keep" if k else "drop" for k in lab["keep"]]
+    tr_t, tr_l = texts[:n_train], labels[:n_train]
+    ho_t, ho_l = texts[n_train:], labels[n_train:]
+    model = train_fasttext_supervised(
+        tr_t, tr_l, dim=24, bucket=8192, minn=2, maxn=4,
+        epoch=8, lr=0.4, min_count=3, seed=23,
+    )
+    pred = [model.predict(t) for t in ho_t]
+    acc = float(np.mean([p == l for p, l in zip(pred, ho_l)]))
+    majority = max(ho_l.count("keep"), ho_l.count("drop")) / len(ho_l)
+    keep_idx = next(
+        i for i, (lb, _c) in enumerate(model.labels) if lb.endswith("keep")
+    )
+    scores = np.array([model.predict_scores(t)[keep_idx] for t in ho_t])
+    y = np.array([l == "keep" for l in ho_l])
+    order = np.argsort(scores)
+    ranks = np.empty(len(scores))
+    ranks[order] = np.arange(1, len(scores) + 1)
+    auc = (ranks[y].sum() - y.sum() * (y.sum() + 1) / 2) / (
+        y.sum() * (~y).sum()
+    )
+    q_path = os.path.join(ART_DIR, "quality_synth.bin")
+    save_fasttext_bin(model, q_path)
+    print(
+        f"fastText quality: held-out acc {acc:.4f} (majority {majority:.4f}) "
+        f"AUC {auc:.4f}"
+    )
+    print(f"  -> {q_path} ({os.path.getsize(q_path)} bytes)")
+    if not acc > majority + 0.05:
+        raise SystemExit(f"quality classifier does not beat majority: {acc}")
+    if not auc > 0.97:
+        raise SystemExit(f"quality classifier AUC too low: {auc}")
+
 
 if __name__ == "__main__":
     main()
