@@ -273,9 +273,13 @@ def _decode_subframe(r: _MSBReader, blocksize: int, bps: int) -> np.ndarray:
         order = stype & 0x07
         if order > 4:
             raise ValueError("fixed order > 4")
+        if order > blocksize:
+            raise ValueError("predictor order exceeds block size")
         out = _predicted(r, blocksize, bps, order, _FIXED_COEFS[order], 0)
     elif stype >= 32:  # LPC
         order = (stype & 0x1F) + 1
+        if order > blocksize:
+            raise ValueError("predictor order exceeds block size")
         warm = [r.read_signed(bps) for _ in range(order)]
         prec = r.read(4)
         if prec == 15:
@@ -398,7 +402,10 @@ def _encode_subframe(
         for v in x:
             w.write(v & ((1 << bps) - 1), bps)
         return
-    order = int(mode[-1])  # "fixed0".."fixed2"
+    # a FIXED subframe's warmup must fit in the block: clamp the order
+    # for tail blocks shorter than it (spec: predictor order < block
+    # size; hypothesis found the 1-sample-block desync)
+    order = min(int(mode[-1]), len(x))  # "fixed0".."fixed2"
     coefs = _FIXED_COEFS[order]
     w.write(0, 1)
     w.write(8 | order, 6)

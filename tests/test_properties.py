@@ -103,3 +103,111 @@ def test_spectral_peak_recovers_tone_frequency(spark):
     for r in out:
         assert r["b"] == r["f"]
         assert abs(r["p"] - 256.0) < 1e-9
+
+
+# ------------------------------------------------ round-4 codec laws
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.lists(st.integers(min_value=0, max_value=255), max_size=600),
+    st.integers(min_value=0, max_value=9),
+)
+def test_lzw_roundtrip_law(mcs, raw, clear_every):
+    """lzw_decode(lzw_encode(x)) == x for any index stream within the
+    palette, any code size, any forced-clear cadence."""
+    from dqmtools_spark.functions.gifcodec import lzw_decode, lzw_encode
+
+    idx = [v % (1 << mcs) for v in raw]
+    enc = lzw_encode(mcs, idx, clear_every=clear_every)
+    assert lzw_decode(mcs, enc, len(idx)) == idx
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    st.lists(
+        st.integers(min_value=-(1 << 15), max_value=(1 << 15) - 1),
+        min_size=1,
+        max_size=400,
+    ),
+    st.sampled_from(["verbatim", "fixed0", "fixed1", "fixed2"]),
+    st.sampled_from([64, 128, 4096]),
+)
+def test_flac_roundtrip_law(samples, mode, blocksize):
+    """decode(encode(x)) == x sample-exactly for any 16-bit signal,
+    any subframe mode, any block size."""
+    import numpy as np
+
+    from dqmtools_spark.functions.flaccodec import decode_flac, encode_flac
+
+    x = np.asarray(samples, dtype=np.int64)
+    _sr, _ch, out = decode_flac(
+        encode_flac(8000, x, mode=mode, blocksize=blocksize)
+    )
+    assert np.array_equal(out[:, 0], x)
+
+
+@settings(deadline=None, max_examples=15)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_progressive_equals_baseline_law(seed):
+    """For ANY coefficient content, decoding the progressive encoding
+    equals decoding the baseline encoding — the two frame types share
+    one pixel pipeline and one truth."""
+    import numpy as np
+
+    from dqmtools_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_from_coeffs,
+        encode_progressive_jpeg_from_coeffs,
+    )
+
+    rng = np.random.default_rng(seed)
+    blocks = []
+    for _by in range(2):
+        row = []
+        for _bx in range(2):
+            b = np.zeros((8, 8), dtype=int)
+            n_ac = int(rng.integers(0, 20))
+            b[0, 0] = int(rng.integers(-500, 500))
+            for _ in range(n_ac):
+                b[int(rng.integers(0, 8)), int(rng.integers(0, 8))] = int(
+                    rng.integers(-200, 200)
+                )
+            row.append(b)
+        blocks.append(row)
+    comp = [{"id": 1, "h": 1, "v": 1, "tq": 0, "blocks": blocks}]
+    scans = [
+        {"comps": [1], "ss": 0, "se": 0, "ah": 0, "al": 2},
+        {"comps": [1], "ss": 0, "se": 0, "ah": 2, "al": 1},
+        {"comps": [1], "ss": 0, "se": 0, "ah": 1, "al": 0},
+        {"comps": [1], "ss": 1, "se": 9, "ah": 0, "al": 1},
+        {"comps": [1], "ss": 10, "se": 63, "ah": 0, "al": 1},
+        {"comps": [1], "ss": 1, "se": 9, "ah": 1, "al": 0},
+        {"comps": [1], "ss": 10, "se": 63, "ah": 1, "al": 0},
+    ]
+    base = decode_jpeg(encode_jpeg_from_coeffs(16, 16, comp, {0: [1] * 64}))
+    prog = decode_jpeg(
+        encode_progressive_jpeg_from_coeffs(16, 16, comp, {0: [1] * 64}, scans)
+    )
+    assert base == prog
+
+
+@settings(deadline=None, max_examples=30)
+@given(
+    st.lists(
+        st.integers(min_value=-(1 << 15), max_value=(1 << 15) - 1),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_wav_pcm16_roundtrip_law(ints):
+    """16-bit PCM WAV encode->decode is the identity on the
+    quantization grid."""
+    import numpy as np
+
+    from dqmtools_spark.functions.wavcodec import decode_wav, encode_wav
+
+    x = np.asarray(ints, dtype=np.float64) / 32768.0
+    _sr, _ch, out = decode_wav(encode_wav(8000, x, bits=16))
+    assert np.array_equal(out[:, 0] * 32768.0, np.asarray(ints, dtype=np.float64))
