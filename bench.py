@@ -157,6 +157,8 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
         "url_canon_dedup",
         "cms_user_counts",
         "range_interval_join",
+        # round-4 operator
+        "dup_ngram_spans",
     ]
     qs = entry_mod.queries()
     out: dict[str, float] = {}
