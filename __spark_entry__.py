@@ -807,6 +807,19 @@ def q_dup_ngram_spans(spark, sf):
     )
 
 
+def q_remove_dup_spans(spark, sf):
+    """ExactSubstr-style repeated-span REMOVAL (new in round 4): drop
+    every token covered by a corpus-hot 5-gram and rebuild the text;
+    docs without dup spans pass through map-side (semi-join routing) —
+    full oracle (`oracles.remove_dup_spans_sql`)."""
+    from dqmtools_spark.operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        _t(spark, sf, "documents"), "text", "doc_id", n=5, min_docs=2,
+        eager=True,
+    )
+
+
 def q_contamination(spark, sf):
     """Benchmark decontamination: corpus docs sharing an 8-word-gram
     with the 'eval set' (doc_id < 20), with distinct-gram counts —
@@ -1455,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- block 0: NEW in round 4, never driver-verified
         "dup_ngram_spans": q_dup_ngram_spans,
+        "remove_dup_spans": q_remove_dup_spans,
         # ---- block 2: r2-vintage driver signal, re-prove on current code
         "quality_keep_summary": q_quality_keep_summary,
         "minhash_pairs": q_minhash_pairs,
@@ -1554,6 +1568,7 @@ def oracle_sql() -> dict[str, str]:
         "token_shards": oracles.token_shards_sql(budget=2000),
         "contamination": oracles.contamination_sql(n=8, eval_max_id=20),
         "dup_ngram_spans": oracles.dup_ngram_spans_sql(n=5, min_docs=2),
+        "remove_dup_spans": oracles.remove_dup_spans_sql(n=5, min_docs=2),
         "doc_top_bigram": oracles.doc_top_bigram_sql(),
         "pipeline_full": oracles.pipeline_result_sql(),
         "pipeline_staged_agg": oracles.pipeline_keep_agg_sql(),

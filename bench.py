@@ -157,8 +157,9 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
         "url_canon_dedup",
         "cms_user_counts",
         "range_interval_join",
-        # round-4 operator
+        # round-4 operators
         "dup_ngram_spans",
+        "remove_dup_spans",
     ]
     qs = entry_mod.queries()
     out: dict[str, float] = {}

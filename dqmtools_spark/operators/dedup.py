@@ -765,6 +765,136 @@ def duplicated_ngram_spans(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+    persist_covered: bool = True,
+    eager: bool = False,
+) -> DataFrame:
+    """ExactSubstr-style repeated-span REMOVAL (the rewrite step of Lee
+    et al. 2022 that :func:`duplicated_ngram_spans` only scores): drop
+    every token position covered by a hot ``n``-gram (one carried by
+    >= ``min_docs`` DISTINCT documents) and rebuild the text from the
+    surviving tokens.  The rebuild is token-level — surviving tokens
+    are re-joined with single spaces, so runs of whitespace normalize
+    (web corpora after extraction are single-spaced; the byte-identity
+    contract belongs to scrub, not to span removal).
+
+    Output, one row per non-null-text doc: (id, n_tokens, n_removed,
+    removed_fraction, clean_text).  Docs with < ``n`` words emit no
+    grams and pass through unchanged; a fully-duplicated doc comes
+    back with ``clean_text = ''``.
+
+    Plan shape at scale: the hot-gram detection is the SAME
+    O(corpus grams) exchange as the signal op.  The expensive part —
+    exploding tokens to rebuild text — runs ONLY for documents that
+    actually contain a duplicated span (a semi-join routes them);
+    clean documents re-join their token array map-side with zero extra
+    shuffle.  On web corpora where a few percent of docs carry
+    boilerplate spans, the rebuild shuffle is a few percent of corpus
+    tokens, not all of them.
+
+    ``covered`` (the O(dup tokens) hot-position table, small relative
+    to the corpus) feeds three consumers (the dup-doc router's semi and
+    anti sides plus the kept-token anti-join); ``persist_covered``
+    trades memory/disk for recomputing the whole gram->hot pipeline per
+    consumer — same discipline as the LSH signature tables.
+    ``eager=True`` materializes the result and unpersists the helper
+    (cache-hygiene epilogue; note the result carries full rebuilt text,
+    so at sink scale prefer ``eager=False`` + write + unpersist).
+    """
+    from dqmtools_spark.functions.hashing import P31, md5_hash60
+
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), words.alias("ws")
+    )
+
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                word_shingles(F.col(text_col), n, strict=True, distinct=False),
+                lambda s: md5_hash60(s) % P31,
+            )
+        ).alias("s", "gh"),
+    )
+    hot = (
+        grams.dropDuplicates([id_col, "gh"])
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("gh")
+    )
+    # token positions (0-based) covered by some hot gram start s
+    covered = (
+        grams.join(hot, "gh")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .dropDuplicates([id_col, "p"])
+    )
+    helpers = []
+    if persist_covered:
+        from pyspark import StorageLevel
+
+        covered = covered.persist(StorageLevel.MEMORY_AND_DISK)
+        helpers.append(covered)
+
+    dup_ids = covered.select(id_col).distinct()
+    dup_docs = base.join(dup_ids, id_col, "semi")
+    clean_docs = base.join(dup_ids, id_col, "anti")
+
+    toks = dup_docs.select(F.col(id_col), F.posexplode("ws").alias("p", "tok"))
+    kept = toks.join(covered, [id_col, "p"], "anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    dup_out = (
+        dup_docs.select(F.col(id_col), F.size("ws").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+    clean_out = clean_docs.select(
+        F.col(id_col),
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_removed"),
+        F.concat_ws(" ", "ws").alias("clean_text"),
+    )
+    out = dup_out.unionByName(clean_out).select(
+        F.col(id_col),
+        "n_tokens",
+        "n_removed",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_removed") / F.col("n_tokens"), 6))
+        .alias("removed_fraction"),
+        "clean_text",
+    )
+    if eager and helpers:
+        out = _finish_eager(out, helpers)
+    return out
+
+
 # ------------------------------------------ corpus-global line dedup
 
 

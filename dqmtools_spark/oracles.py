@@ -430,6 +430,68 @@ def dup_ngram_spans_sql(n: int = 8, min_docs: int = 2) -> str:
     """
 
 
+def remove_dup_spans_sql(n: int = 8, min_docs: int = 2) -> str:
+    """Oracle for ExactSubstr-style repeated-span REMOVAL: same strict
+    shingles / md5-mod-p hot-gram decision as ``dup_ngram_spans_sql``,
+    then every token position covered by a hot gram start (s .. s+n-1,
+    1-based here, 0-based Spark-side — positions never surface) is
+    dropped and the text rebuilt by STRING_AGG over surviving tokens in
+    position order.  Docs with < n words pass through token-rejoined."""
+    w = "REGEXP_EXTRACT_ALL(TRIM(text), '\\S+')"
+    gram_str = f"ARRAY_TO_STRING(ws[s:s + {n - 1}], ' ')"
+    return f"""
+        WITH d AS (
+            SELECT doc_id, {w} AS ws FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+            SELECT doc_id, s, {_md5h(gram_str)} % {P31} AS gh
+            FROM (
+                SELECT doc_id, ws,
+                       UNNEST(GENERATE_SERIES(1, LEN(ws) - {n - 1})) AS s
+                FROM d
+            )
+        ),
+        hot AS (
+            SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+            GROUP BY gh HAVING COUNT(*) >= {int(min_docs)}
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, p FROM (
+                SELECT g.doc_id,
+                       UNNEST(GENERATE_SERIES(g.s, g.s + {n - 1})) AS p
+                FROM g JOIN hot USING (gh)
+            )
+        ),
+        toks AS (
+            SELECT doc_id, p, ws[p] AS tok
+            FROM (
+                SELECT doc_id, ws,
+                       UNNEST(GENERATE_SERIES(1, LEN(ws))) AS p
+                FROM d
+            )
+        ),
+        kept AS (
+            SELECT toks.* FROM toks
+            ANTI JOIN covered USING (doc_id, p)
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   STRING_AGG(tok, ' ' ORDER BY p) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(LEN(ws) AS BIGINT) AS n_tokens,
+               CAST(LEN(ws) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+               ROUND(CASE WHEN LEN(ws) = 0 THEN 0.0
+                          ELSE (LEN(ws) - COALESCE(n_kept, 0))
+                               / CAST(LEN(ws) AS DOUBLE)
+                     END, 6) AS removed_fraction,
+               COALESCE(clean_text, '') AS clean_text
+        FROM d LEFT JOIN rebuilt USING (doc_id)
+    """
+
+
 def doc_top_bigram_sql() -> str:
     """Oracle for the Gopher top-bigram repetition signal: non-distinct
     word bigrams (multiplicity counted), per-doc argmax with

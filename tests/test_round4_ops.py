@@ -117,6 +117,62 @@ def test_duplicated_ngram_spans_planted(spark):
         assert abs(got[d]["dup_fraction"] - 2 / (n_words - 4)) < 1e-6
 
 
+def test_remove_duplicated_spans_planted(spark):
+    """Removal drops exactly the tokens covered by hot grams: the
+    shared 6-word sentence disappears from both carriers, unique docs
+    and short docs pass through token-rejoined, and a doc that IS the
+    hot span comes back empty."""
+    from dqmtools_spark.operators.dedup import remove_duplicated_spans
+
+    shared = "the exact same boilerplate sentence here"
+    rows = [
+        (0, f"alpha beta gamma delta {shared} unique tail zero aa bb"),
+        (1, f"one two three four five {shared} other ending words xx"),
+        (2, "completely different text with no overlap at all in it"),
+        (3, "short"),
+        (4, None),
+        (5, shared),  # the whole doc IS the hot span -> fully removed
+        (6, shared),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = remove_duplicated_spans(df, "text", "doc_id", n=5, min_docs=2, eager=True)
+    got = {r["doc_id"]: r for r in out.collect()}
+    out.unpersist()
+    assert set(got) == {0, 1, 2, 3, 5, 6}  # null text emits no row
+    # hot grams are ONLY the two fully-in-sentence 5-grams (straddling
+    # grams mix in each doc's unique context), so covered positions =
+    # union of the two gram spans = exactly the 6 shared tokens
+    for d in (0, 1):
+        assert got[d]["n_removed"] == 6
+        assert shared.split()[0] not in got[d]["clean_text"].split()
+    assert got[0]["clean_text"] == "alpha beta gamma delta unique tail zero aa bb"
+    assert got[1]["clean_text"] == "one two three four five other ending words xx"
+    # untouched docs: token-rejoined original, zero removals
+    assert got[2]["n_removed"] == 0 and got[2]["clean_text"] == rows[2][1]
+    assert got[3]["n_removed"] == 0 and got[3]["clean_text"] == "short"
+    # fully-duplicated doc -> empty rebuild, fraction 1.0
+    for d in (5, 6):
+        assert got[d]["clean_text"] == "" and got[d]["removed_fraction"] == 1.0
+
+
+def test_remove_duplicated_spans_plan(spark):
+    """No cartesian anywhere; the token explode+rebuild is gated on the
+    dup-doc semi-join so clean docs never shuffle their tokens."""
+    from dqmtools_spark.operators.dedup import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e g")], ["doc_id", "text"]
+    )
+    out = remove_duplicated_spans(df, "text", "doc_id", n=5, persist_covered=False)
+    plan = explain_str(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {r["doc_id"]: r for r in out.collect()}
+    # shared hot gram "a b c d e" covers positions 0..4 in both docs
+    assert got[0]["clean_text"] == "f" and got[1]["clean_text"] == "g"
+    assert got[0]["n_removed"] == 5
+
+
 def test_duplicated_ngram_spans_multiplicity_and_plan(spark):
     """A doc repeating its own gram twice counts both POSITIONS once
     the gram is corpus-hot; the plan stays equi-join (no cartesian)."""
