@@ -803,7 +803,8 @@ def q_dup_ngram_spans(spark, sf):
     from dqmtools_spark.operators.dedup import duplicated_ngram_spans
 
     return duplicated_ngram_spans(
-        _t(spark, sf, "documents"), "text", "doc_id", n=5, min_docs=2
+        _t(spark, sf, "documents"), "text", "doc_id", n=5, min_docs=2,
+        eager=True,
     )
 
 

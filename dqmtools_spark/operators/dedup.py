@@ -709,6 +709,8 @@ def duplicated_ngram_spans(
     id_col: str,
     n: int = 8,
     min_docs: int = 2,
+    persist_grams: bool = True,
+    eager: bool = False,
 ) -> DataFrame:
     """ExactSubstr-style repeated-span SIGNAL (Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better", the
@@ -730,7 +732,20 @@ def duplicated_ngram_spans(
     AQE splits hot grams) and the hot-gram set comes back as a
     broadcast-able join on the gram key — never a cartesian.  The
     per-doc totals aggregate map-side.
+
+    The gram table feeds exactly TWO consumers — the corpus-wide
+    distinct-doc count and a single marker-join + per-doc aggregate
+    that produces ``n_grams`` and ``n_dup_grams`` in ONE pass (a
+    left join to the hot set followed by ``count`` /
+    ``count(marker)``, instead of separate total/dup aggregates that
+    would scan the corpus a third time).  ``persist_grams`` trades
+    memory/disk for recomputing the tokenize+hash pass for the second
+    consumer — same discipline as ``persist_shingles`` in
+    :func:`minhash_lsh_pairs`; ``eager=True`` materializes the (small,
+    one-row-per-doc) result and unpersists the gram table.
     """
+    from pyspark import StorageLevel
+
     from dqmtools_spark.functions.hashing import P31, md5_hash60
 
     grams = df.select(
@@ -742,27 +757,30 @@ def duplicated_ngram_spans(
             )
         ).alias("gh"),
     )
+    helpers = []
+    if persist_grams:
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        helpers.append(grams)
     hot = (
         grams.dropDuplicates([id_col, "gh"])
         .groupBy("gh")
         .agg(F.count(F.lit(1)).alias("ndocs"))
         .filter(F.col("ndocs") >= min_docs)
-        .select("gh")
+        .select("gh", F.lit(1).alias("_hot"))
     )
-    per_doc = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    dup = (
-        grams.join(hot, "gh")
+    out = (
+        grams.join(hot, "gh", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
-    )
-    return (
-        per_doc.join(dup, id_col, "left")
-        .na.fill(0, ["n_dup_grams"])
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.col("_hot")).alias("n_dup_grams"),
+        )
         .withColumn(
             "dup_fraction",
             F.round(F.col("n_dup_grams") / F.col("n_grams"), 6),
         )
     )
+    return _finish_eager(out, helpers) if eager else out
 
 
 def remove_duplicated_spans(
@@ -772,6 +790,7 @@ def remove_duplicated_spans(
     n: int = 8,
     min_docs: int = 2,
     persist_covered: bool = True,
+    persist_grams: bool = True,
     eager: bool = False,
 ) -> DataFrame:
     """ExactSubstr-style repeated-span REMOVAL (the rewrite step of Lee
@@ -801,11 +820,18 @@ def remove_duplicated_spans(
     to the corpus) feeds three consumers (the dup-doc router's semi and
     anti sides plus the kept-token anti-join); ``persist_covered``
     trades memory/disk for recomputing the whole gram->hot pipeline per
-    consumer — same discipline as the LSH signature tables.
-    ``eager=True`` materializes the result and unpersists the helper
+    consumer — same discipline as the LSH signature tables.  The gram
+    table itself feeds two consumers (the hot-gram count and the
+    covered-position join); ``persist_grams`` avoids tokenizing+hashing
+    the corpus twice for them, at the cost of caching an
+    O(corpus gram positions) frame — on a cluster with tight executor
+    memory prefer ``persist_grams=False`` (recompute) over spilling.
+    ``eager=True`` materializes the result and unpersists the helpers
     (cache-hygiene epilogue; note the result carries full rebuilt text,
     so at sink scale prefer ``eager=False`` + write + unpersist).
     """
+    from pyspark import StorageLevel
+
     from dqmtools_spark.functions.hashing import P31, md5_hash60
 
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
@@ -813,6 +839,7 @@ def remove_duplicated_spans(
         F.col(id_col), words.alias("ws")
     )
 
+    helpers = []
     grams = df.select(
         F.col(id_col),
         F.posexplode(
@@ -822,6 +849,9 @@ def remove_duplicated_spans(
             )
         ).alias("s", "gh"),
     )
+    if persist_grams:
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        helpers.append(grams)
     hot = (
         grams.dropDuplicates([id_col, "gh"])
         .groupBy("gh")
@@ -840,10 +870,7 @@ def remove_duplicated_spans(
         )
         .dropDuplicates([id_col, "p"])
     )
-    helpers = []
     if persist_covered:
-        from pyspark import StorageLevel
-
         covered = covered.persist(StorageLevel.MEMORY_AND_DISK)
         helpers.append(covered)
 
@@ -890,9 +917,10 @@ def remove_duplicated_spans(
         .alias("removed_fraction"),
         "clean_text",
     )
-    if eager and helpers:
-        out = _finish_eager(out, helpers)
-    return out
+    # eager materialization runs regardless of which helpers were
+    # persisted (an eager=True, persist_*=False caller still gets a
+    # materialized frame back — ADVICE r4 flagged the silent lazy plan)
+    return _finish_eager(out, helpers) if eager else out
 
 
 # ------------------------------------------ corpus-global line dedup
