@@ -1458,68 +1458,17 @@ def _url_canon_oracle_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver executes entries in dict order and caps
     # each round at 50 queries.  Staleness rotation: queries whose most
-    # recent DRIVER row is oldest run FIRST.  Round-4 ordering:
-    #   block 1 — never driver-verified this round's code (new in r4);
-    #   block 2 — the 23 whose driver rows date from r2 (rotated out of
-    #             r3 by the 50-query cap) while their backing modules
-    #             (dedup.py/similarity.py/udfs.py/pipeline.py) took r3
-    #             diffs — VERDICT r3 "Next round" item 1;
-    #   block 3 — the 50 proven green in CORRECTNESS_r03.json, ordered
-    #             so the pipeline/LSH ones (most code churn) lead.
+    # recent DRIVER row is oldest run FIRST.  Round-5 ordering:
+    #   block 1 — the 25 whose driver rows date from r3 (rotated out of
+    #             r4 by the 50-query cap) — VERDICT r4 "Next round"
+    #             item 2;
+    #   block 2 — NEW in round 5, never driver-verified;
+    #   block 3 — r4-green queries whose backing module
+    #             (operators/dedup.py) took r5 diffs — re-prove;
+    #   block 4 — green in CORRECTNESS_r04.json on unchanged modules
+    #             (freshest signal, safe to rotate past the cap).
     return {
-        # ---- block 0: NEW in round 4, never driver-verified
-        "dup_ngram_spans": q_dup_ngram_spans,
-        "remove_dup_spans": q_remove_dup_spans,
-        # ---- block 2: r2-vintage driver signal, re-prove on current code
-        "quality_keep_summary": q_quality_keep_summary,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "ann_topk": q_ann_topk,
-        "ivf_topk": q_ivf_topk,
-        "embedding_dup_lsh": q_embedding_dup_lsh,
-        "cosine_dup_pairs": q_cosine_dup_pairs,
-        "spectral_peak": q_spectral_peak,
-        "doc_line_dedup": q_doc_line_dedup,
-        "token_shards": q_token_shards,
-        "contamination": q_contamination,
-        "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_lang_mode": q_doc_lang_mode,
-        "ngram_jaccard": q_ngram_jaccard,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dedup_clusters": q_dedup_clusters,
-        "pivot_matrix": q_pivot_matrix,
-        "channel_stats": q_channel_stats,
-        "cube_metrics": q_cube_metrics,
-        "tz_format": q_tz_format,
-        "record_select": q_record_select,
-        "salted_source_agg": q_salted_source_agg,
-        "desparsify_check": q_desparsify_check,
-        # ---- block 3: green in CORRECTNESS_r03.json (most-churned first)
-        "pipeline_full": q_pipeline_full,
-        "pipeline_staged_agg": q_pipeline_staged_agg,
-        "float_lsh_invariant": q_float_lsh_invariant,
-        "doc_global_line_dedup": q_doc_global_line_dedup,
-        "doc_top_bigram": q_doc_top_bigram,
-        "asof_latest_click": q_asof_latest_click,
-        "event_sessions": q_event_sessions,
-        "url_canon_dedup": q_url_canon_dedup,
-        "doc_dup_line_fraction": q_doc_dup_line_fraction,
-        "stratified_sample": q_stratified_sample,
-        "bloom_dedup": q_bloom_dedup,
-        "group_quantiles": q_group_quantiles,
-        "inverted_index": q_inverted_index,
-        "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
-        "cms_user_counts": q_cms_user_counts,
-        "hll_distinct": q_hll_distinct,
-        "unpivot_metrics": q_unpivot_metrics,
-        "window_rank_suite": q_window_rank_suite,
-        "robust_stats": q_robust_stats,
-        "histogram_totalprice": q_histogram_totalprice,
-        "range_interval_join": q_range_interval_join,
-        "time_bucket_rollup": q_time_bucket_rollup,
-        "set_ops": q_set_ops,
-        "pricing_summary": q_pricing_summary,
-        "filter_compound": q_filter_compound,
+        # ---- block 1: r3-vintage driver signal, re-prove on current code
         "filter_sql_string": q_filter_sql_string,
         "project_compute": q_project_compute,
         "broadcast_dim_join": q_broadcast_dim_join,
@@ -1545,6 +1494,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_word_stats": q_doc_word_stats,
         "doc_stopword_fraction": q_doc_stopword_fraction,
         "doc_token_count": q_doc_token_count,
+        # ---- block 2: NEW in round 5, never driver-verified
+        # ---- block 3: r4-green, but operators/dedup.py took r5 diffs
+        "dup_ngram_spans": q_dup_ngram_spans,
+        "remove_dup_spans": q_remove_dup_spans,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "doc_global_line_dedup": q_doc_global_line_dedup,
+        # ---- block 4: green in CORRECTNESS_r04.json, modules unchanged
+        "quality_keep_summary": q_quality_keep_summary,
+        "pipeline_full": q_pipeline_full,
+        "pipeline_staged_agg": q_pipeline_staged_agg,
+        "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
+        "embedding_dup_lsh": q_embedding_dup_lsh,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        "float_lsh_invariant": q_float_lsh_invariant,
+        "spectral_peak": q_spectral_peak,
+        "doc_line_dedup": q_doc_line_dedup,
+        "token_shards": q_token_shards,
+        "contamination": q_contamination,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_lang_mode": q_doc_lang_mode,
+        "ngram_jaccard": q_ngram_jaccard,
+        "doc_fingerprint": q_doc_fingerprint,
+        "pivot_matrix": q_pivot_matrix,
+        "channel_stats": q_channel_stats,
+        "cube_metrics": q_cube_metrics,
+        "tz_format": q_tz_format,
+        "record_select": q_record_select,
+        "salted_source_agg": q_salted_source_agg,
+        "desparsify_check": q_desparsify_check,
+        "doc_top_bigram": q_doc_top_bigram,
+        "asof_latest_click": q_asof_latest_click,
+        "event_sessions": q_event_sessions,
+        "url_canon_dedup": q_url_canon_dedup,
+        "doc_dup_line_fraction": q_doc_dup_line_fraction,
+        "stratified_sample": q_stratified_sample,
+        "bloom_dedup": q_bloom_dedup,
+        "group_quantiles": q_group_quantiles,
+        "inverted_index": q_inverted_index,
+        "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
+        "cms_user_counts": q_cms_user_counts,
+        "hll_distinct": q_hll_distinct,
+        "unpivot_metrics": q_unpivot_metrics,
+        "window_rank_suite": q_window_rank_suite,
+        "robust_stats": q_robust_stats,
+        "histogram_totalprice": q_histogram_totalprice,
+        "range_interval_join": q_range_interval_join,
+        "time_bucket_rollup": q_time_bucket_rollup,
+        "set_ops": q_set_ops,
+        "pricing_summary": q_pricing_summary,
+        "filter_compound": q_filter_compound,
     }
 
 
