@@ -41,6 +41,35 @@ def _walk_chunks(data: bytes, pos: int, end: int):
         pos += 8 + size + (size & 1)
 
 
+def _find_avih(data: bytes, pos: int, end: int, depth: int = 0):
+    """First avih chunk body (as the 10 unpacked dwords) found by a
+    real chunk walk, or None.  hdrl precedes movi, so this returns
+    before touching frame data."""
+    if depth > 32:
+        raise ValueError("LIST nesting too deep")
+    for cid, start, size in _walk_chunks(data, pos, end):
+        if cid == b"avih" and size >= 40:
+            return struct.unpack("<10I", data[start : start + 40])
+        if cid == b"LIST":
+            found = _find_avih(data, start + 4, start + size, depth + 1)
+            if found is not None:
+                return found
+    return None
+
+
+def avi_header_dims(data: bytes) -> tuple[int | None, int | None]:
+    """Metadata-only fast path: locate avih via the chunk walker (so
+    spec-valid files with a leading JUNK or extra chunk parse
+    correctly — fixed byte offsets only hold when hdrl/avih come
+    first) and return (dwWidth, dwHeight); (None, None) when absent."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (missing RIFF/AVI )")
+    vals = _find_avih(data, 12, len(data))
+    if vals is None:
+        return None, None
+    return (int(vals[8]) or None, int(vals[9]) or None)
+
+
 def parse_avi(data: bytes) -> dict:
     """AVI bytes -> {width, height, fps, n_frames, handler,
     frame_spans: [(start, size), ...]} for the first video stream."""
@@ -54,14 +83,19 @@ def parse_avi(data: bytes) -> dict:
     stream_idx = -1
     frame_spans: list[tuple[int, int]] = []
 
-    def walk(pos: int, end: int) -> None:
+    def walk(pos: int, end: int, depth: int = 0) -> None:
         nonlocal width, height, fps, n_frames, handler, vids_stream, stream_idx
+        # real AVI LIST trees nest ~3 deep; a crafted file with ~1000
+        # nested LISTs would otherwise hit Python's recursion limit and
+        # escape the decode guards (ValueError is caught and degraded)
+        if depth > 32:
+            raise ValueError("LIST nesting too deep")
         for cid, start, size in _walk_chunks(data, pos, end):
             if cid == b"LIST":
                 ltype = data[start : start + 4]
                 if ltype == b"strl":
                     stream_idx += 1
-                walk(start + 4, start + size)
+                walk(start + 4, start + size, depth + 1)
             elif cid == b"avih":
                 if size < 40:
                     raise ValueError("avih too small")

@@ -185,6 +185,11 @@ def lzw_encode(min_code_size: int, indices: list[int], clear_every: int = 0) -> 
 
 # ------------------------------------------------------------ decoder
 
+# pixel budget for untrusted corpora: 64 MP (~192 MB of RGB canvas) is
+# far above any real web GIF; headers claiming more are rejected as
+# decompression bombs BEFORE allocation
+MAX_PIXELS = 64_000_000
+
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
@@ -209,6 +214,12 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
     w, h = struct.unpack("<HH", data[6:10])
     if w == 0 or h == 0:
         raise ValueError("zero-area GIF")
+    if w * h > MAX_PIXELS:
+        # decompression-bomb guard: a ~25-byte GIF can CLAIM
+        # 65535x65535 (~12.9 GB of RGB canvas) — reject before
+        # allocating so the multimodal guard degrades it to a null
+        # feature instead of an executor-killing MemoryError
+        raise ValueError(f"GIF claims {w}x{h} > {MAX_PIXELS} pixel budget")
     packed, bg_index = data[10], data[11]
     pos = 13
     gct = None
@@ -246,6 +257,12 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
         pos += 9
         if fw == 0 or fh == 0:
             raise ValueError("zero-area GIF frame")
+        if fw * fh > MAX_PIXELS:
+            # same bomb guard for the frame rect (lzw_decode would
+            # otherwise build an fw*fh-entry Python list)
+            raise ValueError(
+                f"GIF frame claims {fw}x{fh} > {MAX_PIXELS} pixel budget"
+            )
         palette = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)

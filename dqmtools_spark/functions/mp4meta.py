@@ -43,11 +43,16 @@ def parse_mp4_meta(data: bytes) -> tuple[int | None, int | None, float | None]:
     width = height = None
     duration = None
 
-    def walk(pos: int, end: int) -> None:
+    def walk(pos: int, end: int, depth: int = 0) -> None:
         nonlocal width, height, duration
+        # real ISO-BMFF trees nest ~6 deep; a crafted file with ~1000
+        # nested boxes would otherwise hit Python's recursion limit and
+        # escape the decode guards (ValueError is caught and degraded)
+        if depth > 32:
+            raise ValueError("box nesting too deep")
         for btype, body, bend in _boxes(data, pos, end):
             if btype in (b"moov", b"trak"):
-                walk(body, bend)
+                walk(body, bend, depth + 1)
             elif btype == b"mvhd" and bend - body >= 20:
                 ver = data[body]
                 if ver == 1 and bend - body >= 32:

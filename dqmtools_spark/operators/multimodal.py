@@ -58,6 +58,20 @@ META_SCHEMA = T.StructType(
 
 FEATURE_DIM = 16
 
+# the one undecodable-row-must-never-fail-the-job guard: every decode
+# error a malformed/crafted payload can raise degrades to a null
+# feature.  RecursionError covers crafted deep-nesting containers
+# (box/LIST walkers also cap depth); MemoryError covers claimed-size
+# bombs (codecs also reject oversized headers before allocating).
+DECODE_ERRORS = (
+    ValueError,
+    NotImplementedError,
+    struct.error,
+    IndexError,
+    RecursionError,
+    MemoryError,
+)
+
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -93,16 +107,18 @@ def _parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | 
         try:
             w, h, _dur = parse_mp4_meta(b)
             return "mp4", w, h
-        except (ValueError, struct.error, IndexError):
+        except DECODE_ERRORS:
             return "mp4", None, None
-    if b[:4] == b"RIFF" and b[8:12] == b"AVI " and len(b) >= 72:
-        # avih is the first chunk of the first LIST: dwWidth/dwHeight
-        # sit at fixed offsets 64/68 in a spec-shaped file; full
-        # parsing happens at decode time
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        # locate avih with the real chunk walker — a spec-valid AVI may
+        # lead with JUNK/extra chunks, so fixed byte offsets would read
+        # garbage dimensions
+        from dqmtools_spark.functions.avicodec import avi_header_dims
+
         try:
-            w, h = struct.unpack("<II", b[64:72])
-            return "avi", int(w) or None, int(h) or None
-        except struct.error:
+            w, h = avi_header_dims(b)
+            return "avi", w, h
+        except DECODE_ERRORS:
             return "avi", None, None
     if b[:2] == b"\xff\xd8":
         # walk JPEG segments for SOF0/2
@@ -155,7 +171,7 @@ def png_pixel_features(payload: bytes) -> np.ndarray | None:
 
     try:
         w, h, c, pix = decode_png(payload)
-    except (ValueError, NotImplementedError, zlib_error, struct.error, IndexError):
+    except (zlib_error, *DECODE_ERRORS):
         # any malformed payload (truncated header, bad chunk lengths,
         # corrupt deflate stream) degrades to a null feature — one bad
         # row must never fail the job
@@ -197,7 +213,7 @@ def jpeg_pixel_features(payload: bytes) -> np.ndarray | None:
 
     try:
         w, h, c, pix = decode_jpeg(payload)
-    except (ValueError, NotImplementedError, struct.error, IndexError):
+    except DECODE_ERRORS:
         return None
     return _pixels_to_features(w, h, c, pix)
 
@@ -213,7 +229,7 @@ def wav_audio_features(payload: bytes) -> np.ndarray | None:
 
     try:
         return wav_features(payload)
-    except (ValueError, NotImplementedError, struct.error, IndexError):
+    except DECODE_ERRORS:
         return None
 
 
@@ -226,7 +242,7 @@ def flac_audio_features(payload: bytes) -> np.ndarray | None:
 
     try:
         return flac_features(payload)
-    except (ValueError, NotImplementedError, struct.error, IndexError):
+    except DECODE_ERRORS:
         return None
 
 
@@ -241,7 +257,7 @@ def avi_video_features(payload: bytes) -> np.ndarray | None:
 
     try:
         return avi_features(payload)
-    except (ValueError, NotImplementedError, struct.error, IndexError):
+    except DECODE_ERRORS:
         return None
 
 
@@ -255,7 +271,7 @@ def gif_pixel_features(payload: bytes) -> np.ndarray | None:
 
     try:
         w, h, c, pix = decode_gif(payload)
-    except (ValueError, NotImplementedError, struct.error, IndexError):
+    except DECODE_ERRORS:
         return None
     return _pixels_to_features(w, h, c, pix)
 

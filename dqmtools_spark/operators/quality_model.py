@@ -30,9 +30,17 @@ def fasttext_keep_scorer(model, keep_label: str = "keep") -> Callable[[str | Non
     ``model``: a ``functions.models.FastTextModel`` (e.g. from
     ``load_fasttext_bin('artifacts/quality_synth.bin')``) whose labels
     include ``__label__<keep_label>``."""
+    # EXACT label match — a suffix test would silently pick e.g.
+    # '__label__not_keep' and invert every keep/drop score
+    want = f"__label__{keep_label}"
     keep_idx = next(
-        i for i, (lb, _c) in enumerate(model.labels) if lb.endswith(keep_label)
+        (i for i, (lb, _c) in enumerate(model.labels) if lb == want), None
     )
+    if keep_idx is None:
+        raise ValueError(
+            f"model has no label {want!r}; labels: "
+            f"{[lb for lb, _c in model.labels]}"
+        )
 
     def score(text: str | None) -> float:
         if not text:

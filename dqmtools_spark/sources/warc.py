@@ -137,7 +137,7 @@ def warc_gz_to_pages(data: bytes) -> tuple[list[dict], int]:
             member = next(pos_iter)
         except StopIteration:
             break
-        except (ValueError, zlib.error):
+        except (ValueError, zlib.error, MemoryError):
             corrupt += 1
             break  # stream position is unrecoverable past a bad member
         try:
