@@ -821,6 +821,21 @@ def q_remove_dup_spans(spark, sf):
     )
 
 
+def q_remove_dup_spans_max(spark, sf):
+    """MAXIMAL-span removal (new in round 5): adjacent hot-gram
+    positions merge into maximal spans (gaps-and-islands) and only
+    spans >= 40 rejoined chars are removed — the actual Lee et al.
+    2022 minimum-length rule, so two short scattered 5-grams no longer
+    count while a boilerplate run does.  Full oracle
+    (`oracles.remove_dup_spans_max_sql`)."""
+    from dqmtools_spark.operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        _t(spark, sf, "documents"), "text", "doc_id", n=5, min_docs=2,
+        min_span_chars=40, eager=True,
+    )
+
+
 def q_contamination(spark, sf):
     """Benchmark decontamination: corpus docs sharing an 8-word-gram
     with the 'eval set' (doc_id < 20), with distinct-gram counts —
@@ -1495,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stopword_fraction": q_doc_stopword_fraction,
         "doc_token_count": q_doc_token_count,
         # ---- block 2: NEW in round 5, never driver-verified
+        "remove_dup_spans_max": q_remove_dup_spans_max,
         # ---- block 3: r4-green, but operators/dedup.py took r5 diffs
         "dup_ngram_spans": q_dup_ngram_spans,
         "remove_dup_spans": q_remove_dup_spans,
@@ -1572,6 +1588,9 @@ def oracle_sql() -> dict[str, str]:
         "contamination": oracles.contamination_sql(n=8, eval_max_id=20),
         "dup_ngram_spans": oracles.dup_ngram_spans_sql(n=5, min_docs=2),
         "remove_dup_spans": oracles.remove_dup_spans_sql(n=5, min_docs=2),
+        "remove_dup_spans_max": oracles.remove_dup_spans_max_sql(
+            n=5, min_docs=2, min_span_chars=40
+        ),
         "doc_top_bigram": oracles.doc_top_bigram_sql(),
         "pipeline_full": oracles.pipeline_result_sql(),
         "pipeline_staged_agg": oracles.pipeline_keep_agg_sql(),

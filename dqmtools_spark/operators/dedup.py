@@ -789,6 +789,7 @@ def remove_duplicated_spans(
     id_col: str,
     n: int = 8,
     min_docs: int = 2,
+    min_span_chars: int = 0,
     persist_covered: bool = True,
     persist_grams: bool = True,
     eager: bool = False,
@@ -806,6 +807,16 @@ def remove_duplicated_spans(
     removed_fraction, clean_text).  Docs with < ``n`` words emit no
     grams and pass through unchanged; a fully-duplicated doc comes
     back with ``clean_text = ''``.
+
+    ``min_span_chars`` > 0 enables MAXIMAL-span semantics (the actual
+    Lee et al. 2022 rule — they remove duplicated substrings of
+    >= 50 chars): adjacent/overlapping hot-gram token positions merge
+    into maximal spans (gaps-and-islands over covered positions), and
+    only spans whose rejoined char length (token lengths + single-space
+    gaps) reaches the threshold are removed — two short scattered
+    n-grams no longer count as duplication, a long boilerplate run
+    does.  The default 0 removes every covered position (fixed-n gram
+    coverage) with no extra shuffle.
 
     Plan shape at scale: the hot-gram detection is the SAME
     O(corpus grams) exchange as the signal op.  The expensive part —
@@ -879,7 +890,33 @@ def remove_duplicated_spans(
     clean_docs = base.join(dup_ids, id_col, "anti")
 
     toks = dup_docs.select(F.col(id_col), F.posexplode("ws").alias("p", "tok"))
-    kept = toks.join(covered, [id_col, "p"], "anti")
+    if min_span_chars > 0:
+        # gaps-and-islands: adjacent covered positions share
+        # p - row_number(); each island is one maximal span.  The
+        # window shuffles only the covered positions (O(dup tokens),
+        # small vs the corpus), keyed by doc id — no skew beyond a
+        # single pathological doc, which AQE handles.
+        from pyspark.sql import Window
+
+        w_isl = Window.partitionBy(id_col).orderBy("p")
+        islands = covered.withColumn(
+            "grp", F.col("p") - F.row_number().over(w_isl)
+        )
+        span_ok = (
+            islands.join(toks, [id_col, "p"])
+            .groupBy(id_col, "grp")
+            .agg(
+                (F.sum(F.length("tok")) + F.count(F.lit(1)) - 1).alias("chars")
+            )
+            .filter(F.col("chars") >= min_span_chars)
+            .select(id_col, "grp")
+        )
+        removed = islands.join(span_ok, [id_col, "grp"], "semi").select(
+            id_col, "p"
+        )
+    else:
+        removed = covered
+    kept = toks.join(removed, [id_col, "p"], "anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             " ",

@@ -492,6 +492,90 @@ def remove_dup_spans_sql(n: int = 8, min_docs: int = 2) -> str:
     """
 
 
+def remove_dup_spans_max_sql(
+    n: int = 8, min_docs: int = 2, min_span_chars: int = 50
+) -> str:
+    """Oracle for MAXIMAL-span removal (``remove_duplicated_spans``
+    with ``min_span_chars`` > 0 — the actual Lee et al. 2022 rule):
+    same hot-gram/covered-position derivation as
+    :func:`remove_dup_spans_sql`, then covered positions merge into
+    maximal spans by the gaps-and-islands identity
+    (p - ROW_NUMBER() is constant within a run of adjacent positions)
+    and only spans whose rejoined char length (token lengths +
+    single-space gaps) reaches the threshold are removed.  All the
+    span decisions are pure integer math — bit-exact across engines."""
+    w = "REGEXP_EXTRACT_ALL(TRIM(text), '\\S+')"
+    gram_str = f"ARRAY_TO_STRING(ws[s:s + {n - 1}], ' ')"
+    return f"""
+        WITH d AS (
+            SELECT doc_id, {w} AS ws FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+            SELECT doc_id, s, {_md5h(gram_str)} % {P31} AS gh
+            FROM (
+                SELECT doc_id, ws,
+                       UNNEST(GENERATE_SERIES(1, LEN(ws) - {n - 1})) AS s
+                FROM d
+            )
+        ),
+        hot AS (
+            SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+            GROUP BY gh HAVING COUNT(*) >= {int(min_docs)}
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, p FROM (
+                SELECT g.doc_id,
+                       UNNEST(GENERATE_SERIES(g.s, g.s + {n - 1})) AS p
+                FROM g JOIN hot USING (gh)
+            )
+        ),
+        toks AS (
+            SELECT doc_id, p, ws[p] AS tok
+            FROM (
+                SELECT doc_id, ws,
+                       UNNEST(GENERATE_SERIES(1, LEN(ws))) AS p
+                FROM d
+            )
+        ),
+        islands AS (
+            SELECT doc_id, p,
+                   p - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY p) AS grp
+            FROM covered
+        ),
+        span_ok AS (
+            SELECT i.doc_id, i.grp
+            FROM islands i JOIN toks t USING (doc_id, p)
+            GROUP BY i.doc_id, i.grp
+            HAVING SUM(LENGTH(t.tok)) + COUNT(*) - 1 >= {int(min_span_chars)}
+        ),
+        removed AS (
+            SELECT i.doc_id, i.p
+            FROM islands i SEMI JOIN span_ok s
+                ON i.doc_id = s.doc_id AND i.grp = s.grp
+        ),
+        kept AS (
+            SELECT toks.* FROM toks
+            ANTI JOIN removed USING (doc_id, p)
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   STRING_AGG(tok, ' ' ORDER BY p) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(LEN(ws) AS BIGINT) AS n_tokens,
+               CAST(LEN(ws) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+               ROUND(CASE WHEN LEN(ws) = 0 THEN 0.0
+                          ELSE (LEN(ws) - COALESCE(n_kept, 0))
+                               / CAST(LEN(ws) AS DOUBLE)
+                     END, 6) AS removed_fraction,
+               COALESCE(clean_text, '') AS clean_text
+        FROM d LEFT JOIN rebuilt USING (doc_id)
+    """
+
+
 def doc_top_bigram_sql() -> str:
     """Oracle for the Gopher top-bigram repetition signal: non-distinct
     word bigrams (multiplicity counted), per-doc argmax with
