@@ -140,6 +140,26 @@ def build_ann_index(
     return df.withColumn("bucket", bucket_udf(F.col(vec_col)))
 
 
+def ann_probe_buckets(
+    query: list[float],
+    n_planes: int = 12,
+    seed: int = 42,
+    n_probes: int = 4,
+) -> list[int]:
+    """The float-LSH probe rule, driver-side: the query's own bucket
+    plus the ``n_probes - 1`` nearest multiprobe buckets (single-bit
+    flips of the planes with smallest |projection| — the least
+    confident signs).  Shared by :func:`ann_query` and the recall
+    benchmark (``scripts/ann_recall.py``) so both measure the same
+    rule."""
+    q = np.asarray(query, dtype=np.float64)
+    planes = _planes(len(query), n_planes, seed)
+    proj = q @ planes
+    base = int(((proj >= 0) @ (1 << np.arange(n_planes))))
+    flips = np.argsort(np.abs(proj))[: max(n_probes - 1, 0)]
+    return [base] + [base ^ (1 << int(i)) for i in flips]
+
+
 def ann_query(
     indexed: DataFrame,
     vec_col: str,
@@ -150,16 +170,9 @@ def ann_query(
     seed: int = 42,
     n_probes: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: score only rows in the query's bucket and the
-    ``n_probes`` nearest multiprobe buckets (single-bit flips of the
-    planes with smallest |projection| — the least confident signs)."""
-    q = np.asarray(query, dtype=np.float64)
-    planes = _planes(len(query), n_planes, seed)
-    proj = q @ planes
-    base = int(((proj >= 0) @ (1 << np.arange(n_planes))))
-    flips = np.argsort(np.abs(proj))[: max(n_probes - 1, 0)]
-    buckets = [base] + [base ^ (1 << int(i)) for i in flips]
-
+    """Approximate top-k: score only rows in the probe buckets (see
+    :func:`ann_probe_buckets`)."""
+    buckets = ann_probe_buckets(query, n_planes, seed, n_probes)
     cand = indexed.filter(F.col("bucket").isin(buckets))
     return cosine_topk(cand, vec_col, id_col, query, k)
 
@@ -497,6 +510,20 @@ def _assign_udf(centroids: np.ndarray):
     return assign
 
 
+def ivf_probe(
+    centroids: np.ndarray, query: list[float], n_probe: int = 4
+) -> list[int]:
+    """The float-IVF probe rule, driver-side: the ``n_probe`` clusters
+    whose centroids are nearest the query by cosine.  Shared by
+    :func:`ivf_query` and the recall benchmark."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    return [int(p) for p in np.argsort(-(cn @ qn))[:n_probe]]
+
+
 def ivf_query(
     indexed: DataFrame,
     centroids: np.ndarray,
@@ -508,11 +535,6 @@ def ivf_query(
 ) -> DataFrame:
     """Scan only the ``n_probe`` clusters whose centroids are nearest
     the query (cosine), then exact cosine top-k within them."""
-    q = np.asarray(query, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    cn = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
-    )
-    probe = np.argsort(-(cn @ qn))[:n_probe]
-    cand = indexed.filter(F.col("cluster").isin([int(p) for p in probe]))
+    probe = ivf_probe(centroids, query, n_probe)
+    cand = indexed.filter(F.col("cluster").isin(probe))
     return cosine_topk(cand, vec_col, id_col, query, k)
