@@ -152,6 +152,144 @@ def session_metrics(
     )
 
 
+# ---------------------------------- incremental corpus-global line dedup
+
+
+def _global_line_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    output_dir: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> None:
+    """One micro-batch of the incremental global line dedup (the
+    foreachBatch body, module-level so a crash-replay can be exercised
+    directly in tests).
+
+    IDEMPOTENT by construction — Structured Streaming re-runs a batch
+    whose sink write finished but whose checkpoint commit did not:
+
+    - the seen-line LEDGER is read with ``batch_id < N`` only, so a
+      replay of batch N never sees its own earlier partial write;
+    - both outputs land in ``batch_id=N`` partition directories with
+      mode=overwrite, so the replay REWRITES the same bytes instead of
+      appending duplicates.
+
+    Within-batch first occurrence follows the batch operator's rule
+    (min (id, line_idx)); across batches, first ARRIVAL wins — on an
+    id-ordered ingest the two orders coincide and the stream's final
+    output equals ``dedup.global_line_dedup`` over the full corpus
+    (pinned by test_streaming).
+    """
+    from pyspark.errors import AnalysisException
+
+    seen_dir = f"{output_dir}/seen"
+    docs_dir = f"{output_dir}/docs"
+
+    ex = batch_df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_idx", "_line"),
+    ).withColumn("_h", F.md5(F.col("_line")))
+
+    try:
+        seen = spark.read.parquet(seen_dir).filter(
+            F.col("batch_id") < batch_id
+        ).select("_h")
+    except AnalysisException:  # first batch: no ledger yet
+        seen = spark.createDataFrame([], "_h string")
+
+    # winners among lines NOT in the ledger; ledger lines get no winner
+    # row and are dropped by the same null-filter the batch op uses
+    winners = (
+        ex.filter(F.length("_line") >= min_chars)
+        .join(seen, "_h", "anti")
+        .groupBy("_h")
+        .agg(F.min(F.struct("_id", "_idx")).alias("_w"))
+    )
+    kept = ex.join(winners, "_h", "left").filter(
+        (F.length("_line") < min_chars)
+        | ((F.col("_w._id") == F.col("_id")) & (F.col("_w._idx") == F.col("_idx")))
+    )
+    docs = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("deduped_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    out = (
+        batch_df.select(F.col(id_col).alias("_id"))
+        .join(docs, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+    out.write.mode("overwrite").parquet(f"{docs_dir}/batch_id={batch_id}")
+    winners.select("_h").write.mode("overwrite").parquet(
+        f"{seen_dir}/batch_id={batch_id}"
+    )
+
+
+def stream_global_line_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    min_chars: int = 1,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Incremental C4-style corpus-GLOBAL line dedup over a pages
+    stream — the streaming twin of ``dedup.global_line_dedup`` for an
+    incremental crawl: each micro-batch's lines are deduplicated
+    against every line the stream has EVER kept (a durable md5-hash
+    ledger, parquet partitioned by batch_id), then within the batch by
+    the batch operator's min-(id, idx) rule.
+
+    Exactly-once across kill/restart comes from idempotent per-batch
+    partition overwrites, not sink transactions — see
+    :func:`_global_line_dedup_batch`.  Outputs:
+    ``<output>/docs/batch_id=N`` (id, deduped_text, n_kept) and the
+    ledger under ``<output>/seen``.
+
+    Scale notes: the per-batch cost is one anti-join of batch lines
+    against the ledger (equi-join on a 32-byte hash — at 100 TB the
+    ledger is bucketed/partitioned by hash prefix and the anti-join
+    prunes; periodically compact the per-batch ledger partitions with
+    ``sources.tables.compact_table``).  A Bloom-filter ledger
+    (``operators.bloom``) is the approximate low-memory tier of the
+    same design; the exact ledger keeps the oracle-checkable
+    first-occurrence contract.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _global_line_dedup_batch(
+            spark, batch_df, batch_id, output_dir,
+            id_col=id_col, text_col=text_col, min_chars=min_chars,
+        )
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # ------------------------------------- custom stateful op (dedup-first)
 
 _DEDUP_OUT_SCHEMA = T.StructType(

@@ -277,3 +277,82 @@ def test_session_window_state_survives_restart(spark, tmp_path):
     )
     # each closed session emitted exactly once, the open one withheld
     assert len(got) == 2, got
+
+
+def test_stream_global_line_dedup_restart_and_replay(spark, tmp_path):
+    """Incremental corpus-global line dedup (round-5 stretch): lines
+    deduplicate against the durable ledger ACROSS a kill/restart, the
+    final output equals the batch operator over the full corpus (ingest
+    is id-ordered, so arrival order == the batch op's (id, idx) order),
+    and a crash-replay of the last micro-batch is byte-idempotent."""
+    import datetime as dt
+
+    from dqmtools_spark.operators.dedup import global_line_dedup
+    from dqmtools_spark.streaming.stream import (
+        _global_line_dedup_batch,
+        stream_global_line_dedup,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ts = dt.datetime(2024, 1, 1)
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    def rows(id_texts):
+        return [(f"u{i:03d}", ts, None, t, "en") for i, t in id_texts]
+
+    file_a = [
+        (0, "alpha one\nshared line\nbeta two"),
+        (1, "shared line\ngamma three\n\nalpha one"),
+    ]
+    file_b = [
+        (2, "shared line\ndelta four"),
+        (3, "delta four\nunique five\nshared line"),
+        (4, None),  # null text -> ('', 0), the batch op's contract
+    ]
+
+    spark.createDataFrame(rows(file_a), schema).coalesce(1).write.parquet(inp)
+    q = stream_global_line_dedup(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+
+    # RESTART with a new file: batch 1 must see batch 0's ledger
+    spark.createDataFrame(rows(file_b), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    q2 = stream_global_line_dedup(spark, inp, out, ckpt)
+    q2.awaitTermination(120)
+
+    def read_docs():
+        return {
+            r["url"]: (r["deduped_text"], r["n_kept"])
+            for r in spark.read.parquet(out + "/docs").collect()
+        }
+
+    got = read_docs()
+    full = spark.createDataFrame(rows(file_a) + rows(file_b), schema)
+    expected = {
+        r["url"]: (r["deduped_text"], r["n_kept"])
+        for r in global_line_dedup(full, "text", "url").collect()
+    }
+    assert got == expected
+    # cross-batch dedup actually happened: batch-1 docs lost the lines
+    # batch 0 already kept
+    assert got["u002"] == ("delta four", 1)
+    assert got["u003"] == ("unique five", 1)
+    assert got["u004"] == ("", 0)
+
+    # CRASH REPLAY: re-run the last micro-batch body with the same
+    # batch_id (sink written, checkpoint commit lost).  The ledger read
+    # excludes batch_id >= 1, the writes overwrite batch_id=1 — output
+    # and ledger must be unchanged.
+    ledger_before = sorted(
+        r["_h"] for r in spark.read.parquet(out + "/seen").collect()
+    )
+    _global_line_dedup_batch(
+        spark, spark.createDataFrame(rows(file_b), schema), 1, out
+    )
+    assert read_docs() == expected
+    assert ledger_before == sorted(
+        r["_h"] for r in spark.read.parquet(out + "/seen").collect()
+    )
