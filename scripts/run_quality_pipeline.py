@@ -45,6 +45,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser(description="quality-filter pipeline job")
     ap.add_argument("--input", help="pages table path (parquet/iceberg)")
+    ap.add_argument("--input-warc",
+                    help="ingest *.warc.gz files under this path (the "
+                         "Common Crawl wire format) instead of a pages "
+                         "table — one task per segment, shuffle-free")
     ap.add_argument("--synth-docs", type=int, default=0,
                     help="generate N synthetic pages instead of --input")
     ap.add_argument("--output", required=True, help="output base dir")
@@ -83,10 +87,13 @@ def main() -> None:
     if args.synth_docs:
         from dqmtools_spark.synth import synth_pages
         pages = synth_pages(spark, args.synth_docs, seed=42)
+    elif args.input_warc:
+        from dqmtools_spark.sources.warc import read_warc
+        pages = read_warc(spark, args.input_warc)
     elif args.input:
         pages = spark.read.parquet(args.input)
     else:
-        ap.error("one of --input / --synth-docs is required")
+        ap.error("one of --input / --input-warc / --synth-docs is required")
 
     registry = None
     if args.config:
