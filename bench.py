@@ -149,16 +149,22 @@ def run_pipeline_bench(
     # models costs in the Arrow-batched Python stage
     real_best = 0.0
     if real_models:
-        from dqmtools_spark.functions.models import load_arpa, load_fasttext_bin
+        # path-based handles: each Python worker loads the artifacts
+        # once and keeps its token/n-gram memos warm across tasks
+        # (closure-shipped bound methods re-unpickle per task, cold)
+        from dqmtools_spark.functions.models import (
+            langid_fn_from_path,
+            ppl_fn_from_path,
+        )
 
         art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
         models = {
-            "langid_fn": load_fasttext_bin(
+            "langid_fn": langid_fn_from_path(
                 os.path.join(art, "langid_synth.bin")
-            ).predict,
-            "ppl_fn": load_arpa(
+            ),
+            "ppl_fn": ppl_fn_from_path(
                 os.path.join(art, "webtext_en_3gram.arpa.gz")
-            ).text_perplexity,
+            ),
         }
         _sync_fs()
 

@@ -588,6 +588,47 @@ def save_fasttext_bin(model: FastTextModel, path: str) -> None:
             f.write(np.ascontiguousarray(mat, dtype="<f4").tobytes())
 
 
+# ------------------------------------------- per-worker-process cache
+#
+# Shipping a bound model method in the UDF closure re-unpickles the
+# whole model PER TASK and starts every task with cold memos.  These
+# path-based factories ship only the artifact path; each Python worker
+# process loads the file once (module-level cache) and keeps it — and
+# its Zipfian memos — warm across every task the reused worker runs.
+# The reference's channel-map-per-decoder pattern, at worker scope.
+# On a cluster the artifact must be visible to executors (ship via
+# ``spark-submit --files`` or a shared store); local mode just works.
+
+_PROCESS_CACHE: dict[str, object] = {}
+
+
+def _cached(path: str, loader):
+    m = _PROCESS_CACHE.get(path)
+    if m is None:
+        m = _PROCESS_CACHE.setdefault(path, loader(path))
+    return m
+
+
+def langid_fn_from_path(path: str):
+    """``text -> lang`` callable for the seam: loads the fastText .bin
+    once per worker process (see module note above)."""
+
+    def predict(text):
+        return _cached(path, load_fasttext_bin).predict(text)
+
+    return predict
+
+
+def ppl_fn_from_path(path: str):
+    """``text -> perplexity`` callable for the seam: loads the ARPA LM
+    once per worker process."""
+
+    def text_perplexity(text):
+        return _cached(path, load_arpa).text_perplexity(text)
+
+    return text_perplexity
+
+
 def load_fasttext_bin(path: str) -> FastTextModel:
     """Parse the official fastText .bin layout back into a
     :class:`FastTextModel` (dense, non-quantised models)."""

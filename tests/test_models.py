@@ -222,3 +222,29 @@ def test_real_models_through_pipeline_seam(spark):
     truth = {p["url"]: p["lang"] for p in pages.select("url", "lang").collect()}
     agree = float(np.mean([r["lang_pred"] == truth[r["url"]] for r in out]))
     assert agree > 0.9, agree
+
+
+def test_path_based_handles_cache_per_process_and_match_closure(spark):
+    """langid_fn_from_path / ppl_fn_from_path: picklable, load the
+    artifact once per process (module cache), and score identically to
+    the closure-shipped bound methods."""
+    from pyspark import cloudpickle
+
+    from dqmtools_spark.functions import models as M
+
+    lp = "artifacts/langid_synth.bin"
+    ap = "artifacts/webtext_en_3gram.arpa.gz"
+    lang_h, ppl_h = M.langid_fn_from_path(lp), M.ppl_fn_from_path(ap)
+    # round-trip through cloudpickle (what the UDF closure does) — tiny
+    blob = cloudpickle.dumps((lang_h, ppl_h))
+    assert len(blob) < 10_000  # paths, not matrices
+    lang_h2, ppl_h2 = cloudpickle.loads(blob)
+
+    ft, lm = M.load_fasttext_bin(lp), M.load_arpa(ap)
+    for t in ("the quick brown fox", "der die das und", "abc xyz one two"):
+        assert lang_h2(t) == ft.predict(t)
+        assert ppl_h2(t) == lm.text_perplexity(t)
+    # second call reuses the cached object (same identity)
+    before = M._PROCESS_CACHE.get(lp)
+    lang_h2("再 来 一次 的 是")
+    assert M._PROCESS_CACHE.get(lp) is before
