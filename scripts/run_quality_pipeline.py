@@ -18,6 +18,11 @@ Sandbox usage (local[N] stands in for N executors):
         scripts/run_quality_pipeline.py \
         --synth-docs 20000 --output /tmp/quality_out
 
+Real model artifacts (fastText-format langid + ARPA LM) replace the
+deterministic stand-ins via --langid-model/--arpa-model (ship the
+files to executors with --files on a cluster); --input-warc ingests
+Common-Crawl .warc.gz segments directly.
+
 The job is checkpoint-resumable: re-submitting with the same --output
 processes only buckets not yet marked done (kill-safe, idempotent —
 see dqmtools_spark/sources/checkpoint.py).  Counters (docs in/out per
@@ -68,6 +73,16 @@ def main() -> None:
     ap.add_argument("--config", help="JSON file overriding rule thresholds "
                                      "(the reference's per-detector config, "
                                      "dqm_analyzer.py:29-45)")
+    ap.add_argument("--langid-model",
+                    help="fastText .bin langid model path (e.g. "
+                         "artifacts/langid_synth.bin); replaces the "
+                         "deterministic stand-in.  Workers load it once "
+                         "per process — on a cluster ship it with "
+                         "spark-submit --files")
+    ap.add_argument("--arpa-model",
+                    help="ARPA n-gram LM path (.arpa/.arpa.gz, the "
+                         "KenLM interchange format) for perplexity "
+                         "scoring; replaces the stand-in unigram LM")
     ap.add_argument("--metrics-png", action="store_true",
                     help="also render the rule-metrics cube to "
                          "<output>/rule_metrics.png (S9 image sink; "
@@ -100,6 +115,19 @@ def main() -> None:
         with open(args.config) as f:
             registry = default_registry(json.load(f))
 
+    models = None
+    if args.langid_model or args.arpa_model:
+        from dqmtools_spark.functions.models import (
+            langid_fn_from_path,
+            ppl_fn_from_path,
+        )
+
+        models = {}
+        if args.langid_model:
+            models["langid_fn"] = langid_fn_from_path(args.langid_model)
+        if args.arpa_model:
+            models["ppl_fn"] = ppl_fn_from_path(args.arpa_model)
+
     t0 = time.perf_counter()
     if args.staged:
         from dqmtools_spark.pipeline import run_pipeline_staged
@@ -108,12 +136,13 @@ def main() -> None:
             spark, pages, os.path.join(args.output, "text_checkpoint"),
             registry=registry,
             reextract=not args.no_reextract, n_buckets=args.n_buckets,
-            force=args.force_reextract,
+            force=args.force_reextract, models=models,
         )
     else:
         result, outcomes = run_pipeline(
             spark, pages, registry=registry,
-            reextract=not args.no_reextract, n_buckets=args.n_buckets
+            reextract=not args.no_reextract, n_buckets=args.n_buckets,
+            models=models,
         )
     ckpt = CheckpointedRun(spark, args.output, run_id=args.run_id)
     summary = ckpt.run(result, n_buckets=args.n_buckets)
