@@ -208,6 +208,8 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
         # round-4 operators
         "dup_ngram_spans",
         "remove_dup_spans",
+        # round-5 operators
+        "remove_dup_spans_max",
     ]
     qs = entry_mod.queries()
     out: dict[str, float] = {}
