@@ -33,16 +33,43 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 
-def split_gzip_members(data: bytes) -> Iterator[bytes]:
+# decompression-bomb guard for untrusted crawls: one WARC record
+# (one gzip member) above this expanded size is rejected as corrupt
+# (a real CC response record is <= a few MB; a crafted member can
+# claim ~1000x expansion and exhaust executor memory BEFORE the
+# MemoryError guard could catch anything)
+MAX_MEMBER_BYTES = 1 << 30  # 1 GiB
+
+
+def split_gzip_members(
+    data: bytes, max_member_bytes: int = MAX_MEMBER_BYTES
+) -> Iterator[bytes]:
     """Decompress a concatenation of gzip members one member at a
-    time (the WARC.gz layout: one record per member)."""
+    time (the WARC.gz layout: one record per member).  A member whose
+    EXPANDED size exceeds ``max_member_bytes`` raises ValueError with
+    the decompression abandoned mid-stream — bounded memory on
+    crafted input."""
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out = d.decompress(data[pos:])
-        if not d.eof:
-            raise ValueError("truncated gzip member")
-        yield out
+        parts, total = [], 0
+        buf = data[pos:]
+        while True:
+            out = d.decompress(buf, 1 << 20)  # 1 MiB output chunks
+            parts.append(out)
+            total += len(out)
+            if total > max_member_bytes:
+                raise ValueError(
+                    f"gzip member exceeds {max_member_bytes} bytes expanded"
+                )
+            if d.eof:
+                break
+            nxt = d.unconsumed_tail
+            if not out and len(nxt) >= len(buf):
+                # no output and no input consumed: the stream is stuck
+                raise ValueError("truncated gzip member")
+            buf = nxt
+        yield b"".join(parts)
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             raise ValueError("gzip member consumed no bytes")

@@ -119,3 +119,27 @@ def test_keep_scorer_requires_exact_label_match():
 
     with pytest.raises(ValueError, match="no label"):
         fasttext_keep_scorer(_FakeModel(["__label__not_keep"]), "keep")
+
+
+# ---------------------------------------------------- WARC gzip bombs
+
+
+def test_warc_gzip_bomb_member_is_bounded_and_counted():
+    import gzip
+
+    from dqmtools_spark.sources.warc import split_gzip_members, warc_gz_to_pages
+
+    # a few-KB member claiming 4 MiB expanded: must abort at the cap,
+    # not materialize the expansion
+    bomb = gzip.compress(b"\x00" * (4 << 20))
+    with pytest.raises(ValueError, match="exceeds"):
+        list(split_gzip_members(bomb, max_member_bytes=1 << 20))
+    # an ordinary member under the cap round-trips exactly
+    ok = gzip.compress(b"abc" * 1000)
+    assert list(split_gzip_members(ok, max_member_bytes=1 << 20)) == [
+        b"abc" * 1000
+    ]
+    # and at the ingest layer the bomb is one corrupt-member COUNT,
+    # never an exception (one bad record must not fail the task)
+    rows, corrupt = warc_gz_to_pages(bomb)
+    assert rows == [] and corrupt == 1
