@@ -1474,16 +1474,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver executes entries in dict order and caps
     # each round at 50 queries.  Staleness rotation: queries whose most
     # recent DRIVER row is oldest run FIRST.  Round-5 ordering:
-    #   block 1 — the 25 whose driver rows date from r3 (rotated out of
+    #   block 1 — NEW in round 5, never driver-verified (always first);
+    #   block 2 — the 25 whose driver rows date from r3 (rotated out of
     #             r4 by the 50-query cap) — VERDICT r4 "Next round"
     #             item 2;
-    #   block 2 — NEW in round 5, never driver-verified;
-    #   block 3 — r4-green queries whose backing module
-    #             (operators/dedup.py) took r5 diffs — re-prove;
+    #   block 3 — r4-green queries whose backing modules
+    #             (operators/dedup.py, operators/similarity.py) took
+    #             r5 diffs — re-prove;
     #   block 4 — green in CORRECTNESS_r04.json on unchanged modules
     #             (freshest signal, safe to rotate past the cap).
     return {
-        # ---- block 1: r3-vintage driver signal, re-prove on current code
+        # ---- block 1: NEW in round 5, never driver-verified
+        "remove_dup_spans_max": q_remove_dup_spans_max,
+        # ---- block 2: r3-vintage driver signal, re-prove on current code
         "filter_sql_string": q_filter_sql_string,
         "project_compute": q_project_compute,
         "broadcast_dim_join": q_broadcast_dim_join,
@@ -1509,24 +1512,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_word_stats": q_doc_word_stats,
         "doc_stopword_fraction": q_doc_stopword_fraction,
         "doc_token_count": q_doc_token_count,
-        # ---- block 2: NEW in round 5, never driver-verified
-        "remove_dup_spans_max": q_remove_dup_spans_max,
-        # ---- block 3: r4-green, but operators/dedup.py took r5 diffs
+        # ---- block 3: r4-green, but dedup.py / similarity.py took r5 diffs
         "dup_ngram_spans": q_dup_ngram_spans,
         "remove_dup_spans": q_remove_dup_spans,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "doc_global_line_dedup": q_doc_global_line_dedup,
-        # ---- block 4: green in CORRECTNESS_r04.json, modules unchanged
-        "quality_keep_summary": q_quality_keep_summary,
-        "pipeline_full": q_pipeline_full,
-        "pipeline_staged_agg": q_pipeline_staged_agg,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_dup_lsh": q_embedding_dup_lsh,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "float_lsh_invariant": q_float_lsh_invariant,
+        # ---- block 4: green in CORRECTNESS_r04.json, modules unchanged
+        "quality_keep_summary": q_quality_keep_summary,
+        "pipeline_full": q_pipeline_full,
+        "pipeline_staged_agg": q_pipeline_staged_agg,
         "spectral_peak": q_spectral_peak,
         "doc_line_dedup": q_doc_line_dedup,
         "token_shards": q_token_shards,

@@ -742,7 +742,11 @@ def duplicated_ngram_spans(
     memory/disk for recomputing the tokenize+hash pass for the second
     consumer — same discipline as ``persist_shingles`` in
     :func:`minhash_lsh_pairs`; ``eager=True`` materializes the (small,
-    one-row-per-doc) result and unpersists the gram table.
+    one-row-per-doc) result and unpersists the gram table.  As with
+    the LSH ops, ``eager=False`` with ``persist_grams=True`` leaves the
+    helper pinned until ``spark.catalog.clearCache()`` — in a
+    long-lived session either pass ``eager=True`` or
+    ``persist_grams=False``.
     """
     from pyspark import StorageLevel
 
@@ -839,7 +843,11 @@ def remove_duplicated_spans(
     memory prefer ``persist_grams=False`` (recompute) over spilling.
     ``eager=True`` materializes the result and unpersists the helpers
     (cache-hygiene epilogue; note the result carries full rebuilt text,
-    so at sink scale prefer ``eager=False`` + write + unpersist).
+    so at sink scale prefer ``eager=False`` + write + then
+    ``spark.catalog.clearCache()`` — with ``eager=False`` the persisted
+    helpers have no caller-visible handle and stay pinned until the
+    cache is cleared; pass ``persist_*=False`` to avoid pinning
+    entirely).
     """
     from pyspark import StorageLevel
 
@@ -1005,14 +1013,41 @@ def global_line_dedup(
       4. one groupBy(id) to reassemble (sorted by line index).
     Deterministic across runs and cluster sizes: winners are pure mins.
     """
+    out, _winners = global_line_dedup_frames(df, text_col, id_col, min_chars)
+    return out
+
+
+def global_line_dedup_frames(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_chars: int = 1,
+    seen_hashes: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared core of batch AND incremental global line dedup:
+    returns ``(out, winners)`` where ``out`` is the
+    (id, deduped_text, n_kept) result and ``winners`` the one-row-per-
+    newly-kept-line-hash frame (column ``_h``) — the increment a
+    streaming ledger appends.
+
+    ``seen_hashes`` (a frame with column ``_h``) excludes lines the
+    corpus has ALREADY kept (prior micro-batches): they get no winner
+    row and are dropped by the same null filter that drops
+    within-corpus later occurrences.  ``None`` (the batch form) means
+    nothing is pre-seen.  Keeping one definition is what makes the
+    streaming twin (:func:`~dqmtools_spark.streaming.stream.
+    stream_global_line_dedup`) EQUAL to the batch operator by
+    construction, not by parallel maintenance of two copies.
+    """
     ex = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("_idx", "_line"),
     ).withColumn("_h", F.md5(F.col("_line")))
-    winners = (
-        ex.filter(F.length("_line") >= min_chars)
-        .groupBy("_h")
-        .agg(F.min(F.struct("_id", "_idx")).alias("_w"))
+    fresh = ex.filter(F.length("_line") >= min_chars)
+    if seen_hashes is not None:
+        fresh = fresh.join(seen_hashes.select("_h"), "_h", "anti")
+    winners = fresh.groupBy("_h").agg(
+        F.min(F.struct("_id", "_idx")).alias("_w")
     )
     kept = ex.join(winners, "_h", "left").filter(
         (F.length("_line") < min_chars)
@@ -1028,7 +1063,7 @@ def global_line_dedup(
         ).alias("deduped_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    return (
+    out = (
         df.select(F.col(id_col).alias("_id"))
         .join(docs, "_id", "left")
         .select(
@@ -1037,6 +1072,7 @@ def global_line_dedup(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+    return out, winners
 
 
 # ------------------------------------------- embedding-cosine near-dup

@@ -183,15 +183,13 @@ def _global_line_dedup_batch(
     output equals ``dedup.global_line_dedup`` over the full corpus
     (pinned by test_streaming).
     """
+    from pyspark import StorageLevel
     from pyspark.errors import AnalysisException
+
+    from dqmtools_spark.operators.dedup import global_line_dedup_frames
 
     seen_dir = f"{output_dir}/seen"
     docs_dir = f"{output_dir}/docs"
-
-    ex = batch_df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_idx", "_line"),
-    ).withColumn("_h", F.md5(F.col("_line")))
 
     try:
         seen = spark.read.parquet(seen_dir).filter(
@@ -200,41 +198,23 @@ def _global_line_dedup_batch(
     except AnalysisException:  # first batch: no ledger yet
         seen = spark.createDataFrame([], "_h string")
 
-    # winners among lines NOT in the ledger; ledger lines get no winner
-    # row and are dropped by the same null-filter the batch op uses
-    winners = (
-        ex.filter(F.length("_line") >= min_chars)
-        .join(seen, "_h", "anti")
-        .groupBy("_h")
-        .agg(F.min(F.struct("_id", "_idx")).alias("_w"))
+    # the SAME derivation as the batch operator (shared core) — lines
+    # already in the ledger get no winner row and drop out exactly like
+    # within-corpus later occurrences
+    out, winners = global_line_dedup_frames(
+        batch_df, text_col, id_col, min_chars, seen_hashes=seen
     )
-    kept = ex.join(winners, "_h", "left").filter(
-        (F.length("_line") < min_chars)
-        | ((F.col("_w._id") == F.col("_id")) & (F.col("_w._idx") == F.col("_idx")))
-    )
-    docs = kept.groupBy("_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
-                lambda s: s["_line"],
-            ),
-            "\n",
-        ).alias("deduped_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    out = (
-        batch_df.select(F.col(id_col).alias("_id"))
-        .join(docs, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    # winners feeds both the docs rebuild and the ledger append; without
+    # the persist the ledger scan + explode + md5 + anti-join would run
+    # twice per micro-batch (once per write job)
+    winners = winners.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        out.write.mode("overwrite").parquet(f"{docs_dir}/batch_id={batch_id}")
+        winners.select("_h").write.mode("overwrite").parquet(
+            f"{seen_dir}/batch_id={batch_id}"
         )
-    )
-    out.write.mode("overwrite").parquet(f"{docs_dir}/batch_id={batch_id}")
-    winners.select("_h").write.mode("overwrite").parquet(
-        f"{seen_dir}/batch_id={batch_id}"
-    )
+    finally:
+        winners.unpersist()
 
 
 def stream_global_line_dedup(

@@ -76,7 +76,6 @@ def main() -> None:
     from dqmtools_spark.pipeline import run_pipeline
     from dqmtools_spark.session import get_spark
     from dqmtools_spark.sources.warc import read_warc
-    from dqmtools_spark.synth import synth_pages
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -86,15 +85,14 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="bench_warc_")
     mb = generate_warc_set(spark, tmp, args.docs, args.files)
 
+    from bench import _sync_fs  # the one flush-barrier implementation
+
     # warm codegen + Python workers on the same plan shape (uncounted)
     warm, _ = run_pipeline(spark, read_warc(spark, tmp))
     n = warm.agg(
         F.count(F.lit(1)).alias("n"), F.count_if(F.col("keep"))
     ).collect()[0]["n"]
-    try:
-        os.sync()
-    except (AttributeError, OSError):
-        pass
+    _sync_fs()
 
     def rep() -> float:
         t0 = time.perf_counter()
