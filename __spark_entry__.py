@@ -459,6 +459,24 @@ def q_doc_lang_mode(spark, sf):
     return group_mode(d, ["source"], "lang").withColumnRenamed("lang", "modal_lang")
 
 
+def q_embedding_dup_lsh_banded(spark, sf):
+    """Banded (OR-construction) integer-plane LSH near-dup pairs (new
+    in round 5): 14 bands x 4 planes each — the RECALL path the
+    single-band `embedding_dup_lsh` prefilter is not (~90% theoretical
+    recall at cosine 0.4 vs the AND-only tier's <1%); any-band
+    candidate rule + exact cosine verify, all band decisions exact
+    integer math (full oracle `oracles.embedding_dup_lsh_banded_sql`)."""
+    from dqmtools_spark.operators.similarity import (
+        embedding_cosine_pairs_int_banded,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    return embedding_cosine_pairs_int_banded(
+        e, "embedding", "vec_id", dim=_EMB_DIM, threshold=0.4,
+        planes_per_band=4, n_bands=14,
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def q_ngram_jaccard(spark, sf):
     """n-gram Jaccard near-dup scores on a bounded doc subset."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
@@ -1486,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- block 1: NEW in round 5, never driver-verified
         "remove_dup_spans_max": q_remove_dup_spans_max,
+        "embedding_dup_lsh_banded": q_embedding_dup_lsh_banded,
         # ---- block 2: r3-vintage driver signal, re-prove on current code
         "filter_sql_string": q_filter_sql_string,
         "project_compute": q_project_compute,
@@ -1580,6 +1599,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_pairs": oracles.simhash_pairs_sql(max_hamming=6, n_bits=60),
         "embedding_dup_lsh": oracles.embedding_dup_lsh_sql(planes, threshold=0.35),
+        "embedding_dup_lsh_banded": oracles.embedding_dup_lsh_banded_sql(
+            [int_planes(_EMB_DIM, 4, tag=f"band{i}") for i in range(14)],
+            threshold=0.4,
+        ),
         "ann_topk": oracles.ann_topk_sql(planes, k=10),
         "ivf_topk": oracles.ivf_topk_sql(n_centroids=8, n_probe=3, k=10),
         "spectral_peak": oracles.spectral_peak_sql(n=32, max_freq=14),

@@ -1094,10 +1094,17 @@ def embedding_cosine_pairs(
     Candidate generation is the hyperplane-LSH bucket (same signature
     family as ANN search): only rows sharing a sign-pattern bucket are
     compared, so the self-join shuffles on (bucket) instead of
-    exploding all pairs.  High-cosine pairs agree on most hyperplane
-    signs, so recall at 0.95+ cosine is high with 8 planes; exact
-    cosine (JVM-side ``aggregate(zip_with(...))``) verifies every
-    candidate — no false positives.
+    exploding all pairs.  Exact cosine (JVM-side
+    ``aggregate(zip_with(...))``) verifies every candidate — no false
+    positives.  RECALL of this single-bucket (AND-only) construction
+    is the per-plane collision probability to the n_planes power:
+    (1 - theta/pi)^n — e.g. ~0.43 at cosine 0.95 with 8 planes, and
+    measured 0.3% at threshold 0.35 with 12 planes (BENCH §15) — so
+    treat it as a high-precision prefilter; for measured-recall
+    near-dup detection use the banded OR-construction
+    (:func:`~dqmtools_spark.operators.similarity.
+    embedding_cosine_pairs_int_banded`, 90%+ measured at its design
+    target) or run several seeds of this function and union.
 
     SCALE: intra-bucket comparison is quadratic in bucket occupancy, so
     ``n_planes`` must grow with the corpus (log2) — pass

@@ -301,6 +301,115 @@ def int_ann_query(
     return cosine_topk(cand, vec_col, id_col, query, k)
 
 
+def bands_for_recall(
+    threshold: float, planes_per_band: int, target_recall: float = 0.9
+) -> int:
+    """Closed-form band count for the OR-construction: per-plane
+    collision probability for a pair at exactly ``threshold`` cosine is
+    p = 1 - theta/pi; a band of r planes collides with p^r; b
+    independent bands reach recall 1 - (1 - p^r)^b, so
+    b = ceil(ln(1 - target) / ln(1 - p^r)).
+
+    The formula makes the fundamental tradeoff explicit: at LOW cosine
+    thresholds p is near 1/2 and the required band count explodes
+    (threshold 0.35, r=8 -> 115 bands; r=4 -> 15), i.e. hyperplane LSH
+    cannot prune much when the similarity signal is weak — measured in
+    BENCH §15.  At near-dup thresholds (0.9+) a handful of bands
+    suffices."""
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0,1), got {target_recall}")
+    p = 1.0 - math.acos(threshold) / math.pi
+    pr = p**planes_per_band
+    if pr >= 1.0:
+        return 1
+    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr)))
+
+
+def int_multi_bucket_udf(plane_sets: list[list[list[int]]]):
+    """pandas UDF: embedding -> array<int> of per-band buckets (one
+    bucket per plane set), all bands in ONE numpy matmul per Arrow
+    batch.  Same exact integer arithmetic as :func:`int_bucket_udf`
+    (floor-quantized int64 dots), so every band's bucket is
+    oracle-reproducible."""
+    all_planes = np.asarray(
+        [p for ps in plane_sets for p in ps], dtype=np.int64
+    )
+    sizes = [len(ps) for ps in plane_sets]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(vec: pd.Series) -> pd.Series:
+        mat = np.vstack(vec.to_numpy()).astype(np.float64)
+        q = np.floor(mat * QUANT_SCALE).astype(np.int64)
+        signs = (q @ all_planes.T) >= 0  # exact: |dot| < 2^41
+        cols, off = [], 0
+        for r in sizes:
+            cols.append(signs[:, off : off + r] @ (1 << np.arange(r)))
+            off += r
+        arr = np.stack(cols, axis=1).astype(np.int32)
+        return pd.Series(list(arr))
+
+    return buckets
+
+
+def embedding_cosine_pairs_int_banded(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    planes_per_band: int = 8,
+    n_bands: int | None = None,
+    target_recall: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold with a BANDED
+    (OR-construction) integer-plane LSH — the recall path that the
+    single-band :func:`embedding_cosine_pairs_int` (an AND-only
+    prefilter, measured 0.3% recall at threshold 0.35) is not:
+    ``n_bands`` independent plane sets each bucket the corpus; a pair
+    is a candidate if ANY band agrees; exact cosine verifies, so
+    precision stays 1.0 and recall is 1 - (1 - p^r)^b (measured to
+    track theory in BENCH §15).  ``n_bands=None`` derives the count
+    from :func:`bands_for_recall`.
+
+    Plan shape at scale: one Arrow stage computes all band buckets in
+    a single matmul; candidates come from ONE equi-join on
+    (band, bucket) after a posexplode — the exchange carries
+    b x corpus rows (the OR-construction's inherent cost multiplier),
+    never a cartesian; duplicate candidates collapse before the verify
+    so each surviving pair pays exact cosine once."""
+    if n_bands is None:
+        n_bands = bands_for_recall(threshold, planes_per_band, target_recall)
+    plane_sets = [
+        int_planes(dim, planes_per_band, tag=f"band{i}") for i in range(n_bands)
+    ]
+    udf = int_multi_bucket_udf(plane_sets)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.posexplode(udf(F.col(vec_col))).alias("_band", "_bkt"),
+    )
+    l = base.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_band", "_bkt"
+    )
+    r = base.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_band", "_bkt"
+    )
+    cand = (
+        l.join(r, ["_band", "_bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        cosine(F.col("_va"), F.col("_vb")).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
 def embedding_cosine_pairs_int(
     df: DataFrame,
     vec_col: str,

@@ -192,6 +192,36 @@ def embedding_dup_lsh_sql(planes: list[list[int]], threshold: float = 0.35) -> s
     """
 
 
+def embedding_dup_lsh_banded_sql(
+    plane_sets: list[list[list[int]]], threshold: float = 0.5
+) -> str:
+    """Full-output oracle for ``embedding_cosine_pairs_int_banded``:
+    each band's bucket is the same exact integer sign pattern as the
+    single-band oracle; a pair is a candidate when ANY band agrees
+    (the OR-construction), then exact cosine verifies.  DuckDB
+    evaluates the OR over all-pairs directly (the corpus is small at
+    oracle scale); Spark reaches the same pair set through the banded
+    equi-join."""
+    bucket_cols = ", ".join(
+        f"{_bucket_expr(_QUANT, ps)} AS bkt{i}"
+        for i, ps in enumerate(plane_sets)
+    )
+    any_band = " OR ".join(
+        f"a.bkt{i} = b.bkt{i}" for i in range(len(plane_sets))
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bucket_cols}
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS}, 4) AS cosine
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND ({any_band})
+          AND {_COS} >= {threshold}
+    """
+
+
 def ann_topk_sql(planes: list[list[int]], k: int = 10) -> str:
     """Full-output oracle for ``int_ann_query``: probe set = query
     bucket plus every Hamming-1 neighbor (a data-independent rule both

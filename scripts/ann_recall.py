@@ -71,10 +71,78 @@ def evaluate(
     return float(np.mean(recalls)), float(np.mean(fracs))
 
 
+def pair_recall(spark) -> None:
+    """Near-dup PAIR recall of the integer-plane LSH tier
+    (``embedding_cosine_pairs_int``, the oracle-checkable path used by
+    the embedding_dup_lsh query) vs exact all-pairs cosine, per cosine
+    bucket.  Precision is 1.0 by construction (exact cosine verify);
+    recall loss is pairs whose sign patterns differ on every plane."""
+    from pyspark.sql import functions as F
+
+    from dqmtools_spark.operators import similarity as S
+    from dqmtools_spark.session import get_spark  # noqa: F401
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    nm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = nm @ nm.T
+    thr = 0.35
+    iu = np.triu_indices(len(ids), k=1)
+    mask = sims[iu] >= thr
+    truth = {
+        (int(ids[a]), int(ids[b])): float(sims[a, b])
+        for a, b in zip(iu[0][mask], iu[1][mask])
+    }
+
+    tiers = {
+        "single_band_12planes": S.embedding_cosine_pairs_int(
+            emb, "embedding", "vec_id", S.int_planes(DIM, 12), threshold=thr
+        ),
+        "banded_14x4": S.embedding_cosine_pairs_int_banded(
+            emb, "embedding", "vec_id", DIM, threshold=thr,
+            planes_per_band=4, n_bands=14,
+        ),
+    }
+    buckets = [(0.35, 0.5), (0.5, 0.7), (0.7, 0.9), (0.9, 1.01)]
+    for name, q in tiers.items():
+        got = {
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            for r in q.collect()
+        }
+        out = {
+            "metric": "embedding_lsh_pair_recall",
+            "tier": name,
+            "threshold": thr,
+            "true_pairs": len(truth),
+            "found": len(got & set(truth)),
+            "false_positives": len(got - set(truth)),
+            "overall_recall": round(
+                len(got & set(truth)) / max(len(truth), 1), 4
+            ),
+            "buckets": [
+                {
+                    "cosine": f"{lo}-{min(hi, 1.0)}",
+                    "pairs": sum(1 for c in truth.values() if lo <= c < hi),
+                    "found": sum(
+                        1 for p, c in truth.items() if lo <= c < hi and p in got
+                    ),
+                }
+                for lo, hi in buckets
+            ],
+        }
+        print(json.dumps(out))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", type=int, default=32)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--pairs", action="store_true",
+                    help="measure near-dup PAIR recall of the "
+                         "integer-plane LSH tier instead of top-k")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -86,6 +154,10 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
     spark = get_spark(app_name="ann_recall", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.pairs:
+        pair_recall(spark)
+        spark.stop()
+        return
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
     rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()

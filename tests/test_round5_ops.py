@@ -104,3 +104,85 @@ def test_maximal_span_merges_overlapping_grams_into_one_island(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------- banded embedding LSH (OR-construction)
+
+
+def test_bands_for_recall_closed_form():
+    import math
+
+    from dqmtools_spark.operators.similarity import bands_for_recall
+
+    # threshold 0.5 -> p = 1 - acos(.5)/pi = 2/3; r=4 -> p^r = 16/81
+    p4 = (2.0 / 3.0) ** 4
+    expect = math.ceil(math.log(0.1) / math.log(1 - p4))
+    assert bands_for_recall(0.5, 4, 0.9) == expect == 11
+    # high threshold needs few bands; low threshold explodes
+    assert bands_for_recall(0.95, 8, 0.9) <= 8
+    assert bands_for_recall(0.35, 8, 0.9) > 100
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bands_for_recall(1.5, 4)
+
+
+def test_multi_bucket_udf_matches_per_band_python(spark):
+    """Every band bucket from the one-matmul UDF equals the driver-side
+    pure-Python single-band bucket function (the oracle parity root)."""
+    from pyspark.sql import functions as F
+
+    from dqmtools_spark.operators.similarity import (
+        int_bucket_py,
+        int_multi_bucket_udf,
+        int_planes,
+    )
+
+    dim, bands = 8, 5
+    plane_sets = [int_planes(dim, 4, tag=f"band{i}") for i in range(bands)]
+    vecs = [
+        (i, [((i * 7 + j * 13) % 19 - 9) / 10.0 for j in range(dim)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: list(r["b"])
+        for r in df.select(
+            "vec_id", int_multi_bucket_udf(plane_sets)(F.col("embedding")).alias("b")
+        ).collect()
+    }
+    for vid, v in vecs:
+        assert got[vid] == [int_bucket_py(v, ps) for ps in plane_sets], vid
+
+
+def test_banded_pairs_find_exact_duplicates_and_verify_exactly(spark):
+    """Identical vectors share every band bucket, so exact duplicates
+    are found with probability 1; every returned pair satisfies the
+    exact-cosine verify (precision 1.0 by construction); the plan is
+    an equi-join, never a cartesian."""
+    from dqmtools_spark.operators.similarity import (
+        embedding_cosine_pairs_int_banded,
+    )
+    from dqmtools_spark.plans.audit import explain_str
+
+    dim = 8
+    rows = []
+    for k in range(10):  # 10 exact-duplicate pairs
+        v = [((k * 11 + j * 3) % 17 - 8) / 9.0 for j in range(dim)]
+        rows.append((2 * k, v))
+        rows.append((2 * k + 1, v))
+    # plus unrelated near-orthogonal one-hot vectors
+    for k in range(20, 28):
+        rows.append((k, [1.0 if j == k % dim else 0.0 for j in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_cosine_pairs_int_banded(
+        df, "embedding", "vec_id", dim, threshold=0.95, planes_per_band=4,
+        n_bands=6,
+    )
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    for k in range(10):
+        assert got.get((2 * k, 2 * k + 1), 0.0) >= 0.9999, k
+    assert all(c >= 0.95 for c in got.values())
+    plan = explain_str(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
