@@ -210,6 +210,7 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
         "remove_dup_spans",
         # round-5 operators
         "remove_dup_spans_max",
+        "embedding_dup_lsh_banded",
     ]
     qs = entry_mod.queries()
     out: dict[str, float] = {}

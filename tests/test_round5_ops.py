@@ -186,3 +186,21 @@ def test_banded_pairs_find_exact_duplicates_and_verify_exactly(spark):
     plan = explain_str(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_bands_for_recall_closed_form():
+    import math
+
+    from dqmtools_spark.operators.dedup import minhash_bands_for_recall
+
+    # s=0.5, r=4 -> s^r=1/16; b = ceil(ln .1 / ln(15/16)) = 36
+    assert minhash_bands_for_recall(0.5, 4, 0.9) == math.ceil(
+        math.log(0.1) / math.log(1 - 0.5**4)
+    ) == 36
+    # the production default (8 bands of 4 rows) reaches ~0.985 recall
+    # at s=0.8 — 8 bands suffice for a 0.98 target there
+    assert minhash_bands_for_recall(0.8, 4, 0.98) == 8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minhash_bands_for_recall(0.0, 4)
