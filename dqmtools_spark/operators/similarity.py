@@ -389,10 +389,10 @@ def embedding_cosine_pairs_int_banded(
     plane_sets = [
         int_planes(dim, planes_per_band, tag=f"band{i}") for i in range(n_bands)
     ]
-    udf = int_multi_bucket_udf(plane_sets)
+    bucketize = int_multi_bucket_udf(plane_sets)
     base = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(udf(F.col(vec_col))).alias("_band", "_bkt"),
+        F.posexplode(bucketize(F.col(vec_col))).alias("_band", "_bkt"),
     )
     cand = (
         base.select(F.col("_id").alias("id_a"), "_band", "_bkt")
