@@ -473,7 +473,7 @@ def q_embedding_dup_lsh_banded(spark, sf):
     e = _t(spark, sf, "embeddings")
     return embedding_cosine_pairs_int_banded(
         e, "embedding", "vec_id", dim=_EMB_DIM, threshold=0.4,
-        planes_per_band=4, n_bands=14,
+        planes_per_band=4, n_bands=14, eager=True,
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 

@@ -221,9 +221,15 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
         # session); a one-shot driver run would report that warmup as
         # throughput (BENCH_r01 measured 2.2x uniform inflation).  The
         # DataFrame is rebuilt per run — Spark 4 memoizes actions on
-        # the same DataFrame object.
+        # the same DataFrame object — AND the cache is cleared per rep:
+        # eager queries persist their (small) result, and Spark's
+        # CacheManager matches canonicalized PLANS, not objects, so a
+        # second run of an identical query would otherwise read rep 1's
+        # cache and report a fake number (measured 2.7s -> 0.6s on the
+        # banded-LSH query).
         best = float("inf")
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

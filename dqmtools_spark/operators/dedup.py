@@ -304,25 +304,19 @@ def _lsh_band_verify(
 def minhash_bands_for_recall(
     threshold: float, rows_per_band: int, target_recall: float = 0.9
 ) -> int:
-    """Closed-form MinHash band count: a pair at Jaccard exactly
-    ``threshold`` agrees on one minhash with probability s = threshold,
-    on a whole band of r rows with s^r, and on >= 1 of b bands with
-    1 - (1 - s^r)^b — so b = ceil(ln(1-target) / ln(1-s^r)).  The
-    default production parameters (b=8, r=4) give measured recall
-    0.567/0.800/0.983/1.0/1.0 across Jaccard 0.5..1.0 buckets
-    (BENCH §14, tracking this formula); to dedup aggressively at a
-    LOWER threshold raise b (more parallel OR-trials; num_hashes =
-    b*r grows with it), never lower the verify threshold."""
-    import math
+    """MinHash band count: a pair at Jaccard exactly ``threshold``
+    agrees on one minhash with probability s = threshold, so the
+    shared OR-construction rule
+    (:func:`~dqmtools_spark.operators.similarity.or_construction_bands`)
+    applies with p = s.  The default production parameters (b=8, r=4)
+    give measured recall 0.567/0.800/0.983/1.0/1.0 across Jaccard
+    0.5..1.0 buckets (BENCH §14, tracking this formula); to dedup
+    aggressively at a LOWER threshold raise b (more parallel OR-trials;
+    num_hashes = b*r grows with it), never lower the verify
+    threshold."""
+    from dqmtools_spark.operators.similarity import or_construction_bands
 
-    if not 0.0 < threshold < 1.0:
-        raise ValueError(f"threshold must be in (0,1), got {threshold}")
-    if not 0.0 < target_recall < 1.0:
-        raise ValueError(f"target_recall must be in (0,1), got {target_recall}")
-    sr = threshold**rows_per_band
-    if sr >= 1.0:
-        return 1
-    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - sr)))
+    return or_construction_bands(threshold, rows_per_band, target_recall)
 
 
 def minhash_lsh_pairs(

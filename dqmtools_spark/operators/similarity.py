@@ -301,14 +301,34 @@ def int_ann_query(
     return cosine_topk(cand, vec_col, id_col, query, k)
 
 
+def or_construction_bands(
+    p: float, rows_per_band: int, target_recall: float
+) -> int:
+    """The ONE closed-form OR-construction sizing rule shared by every
+    LSH family: a pair whose per-trial collision probability is ``p``
+    agrees on a whole band of r trials with p^r and on >= 1 of b
+    independent bands with 1 - (1 - p^r)^b, so
+    b = ceil(ln(1 - target) / ln(1 - p^r)).  Families differ only in
+    how p derives from their similarity threshold (cosine ->
+    1 - theta/pi, Jaccard -> s); see :func:`bands_for_recall` and
+    ``dedup.minhash_bands_for_recall``."""
+    import math
+
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"collision probability must be in (0,1), got {p}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0,1), got {target_recall}")
+    pr = p**rows_per_band
+    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr)))
+
+
 def bands_for_recall(
     threshold: float, planes_per_band: int, target_recall: float = 0.9
 ) -> int:
-    """Closed-form band count for the OR-construction: per-plane
+    """Band count for the HYPERPLANE OR-construction: per-plane
     collision probability for a pair at exactly ``threshold`` cosine is
-    p = 1 - theta/pi; a band of r planes collides with p^r; b
-    independent bands reach recall 1 - (1 - p^r)^b, so
-    b = ceil(ln(1 - target) / ln(1 - p^r)).
+    p = 1 - theta/pi (see :func:`or_construction_bands` for the shared
+    formula).
 
     The formula makes the fundamental tradeoff explicit: at LOW cosine
     thresholds p is near 1/2 and the required band count explodes
@@ -320,13 +340,9 @@ def bands_for_recall(
 
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0,1), got {threshold}")
-    if not 0.0 < target_recall < 1.0:
-        raise ValueError(f"target_recall must be in (0,1), got {target_recall}")
-    p = 1.0 - math.acos(threshold) / math.pi
-    pr = p**planes_per_band
-    if pr >= 1.0:
-        return 1
-    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr)))
+    return or_construction_bands(
+        1.0 - math.acos(threshold) / math.pi, planes_per_band, target_recall
+    )
 
 
 def int_multi_bucket_udf(plane_sets: list[list[list[int]]]):
@@ -364,6 +380,8 @@ def embedding_cosine_pairs_int_banded(
     planes_per_band: int = 8,
     n_bands: int | None = None,
     target_recall: float = 0.9,
+    persist_buckets: bool = True,
+    eager: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold with a BANDED
     (OR-construction) integer-plane LSH — the recall path that the
@@ -379,11 +397,19 @@ def embedding_cosine_pairs_int_banded(
     a single matmul; candidates come from ONE equi-join on
     (band, bucket) after a posexplode — the exchange carries
     b x corpus rows (the OR-construction's inherent cost multiplier),
-    never a cartesian.  The banded self-join and the duplicate-pair
-    collapse move ONLY (id, id) pairs — the wide embedding arrays
-    rejoin by id afterwards, once per SURVIVING pair side (measured
-    4x faster than carrying vectors through the candidate exchange),
-    and each distinct pair pays exact cosine once."""
+    never a cartesian.  The (id, band, bucket) bucket frame is NARROW
+    (three ints) and feeds both self-join sides, so it persists by
+    default (``persist_buckets``; same helper-frame discipline as
+    ``minhash_lsh_pairs``'s ``persist_shingles`` — without it the
+    full-corpus quantize+matmul Arrow stage runs once per side) and
+    the duplicate-pair collapse moves ONLY (id, id) pairs — the wide
+    embedding arrays rejoin by id afterwards with PRE-COMPUTED norms,
+    once per SURVIVING pair side (measured ~3x total at sf0.1 vs
+    carrying vectors through the candidate exchange).  ``eager=True``
+    materializes the (small) pair result and unpersists the bucket
+    frame — the hygienic form for long-lived sessions."""
+    from pyspark import StorageLevel
+
     if n_bands is None:
         n_bands = bands_for_recall(threshold, planes_per_band, target_recall)
     plane_sets = [
@@ -394,6 +420,10 @@ def embedding_cosine_pairs_int_banded(
         F.col(id_col).alias("_id"),
         F.posexplode(bucketize(F.col(vec_col))).alias("_band", "_bkt"),
     )
+    helpers = []
+    if persist_buckets:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        helpers.append(base)
     cand = (
         base.select(F.col("_id").alias("id_a"), "_band", "_bkt")
         .join(base.select(F.col("_id").alias("id_b"), "_band", "_bkt"),
@@ -409,7 +439,7 @@ def embedding_cosine_pairs_int_banded(
         v.alias("_v"),
         l2_norm(v).alias("_n"),
     )
-    return (
+    out = (
         cand.join(
             vecs.withColumnsRenamed(
                 {"_vid": "id_a", "_v": "_va", "_n": "_na"}
@@ -434,6 +464,11 @@ def embedding_cosine_pairs_int_banded(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    if eager:
+        from dqmtools_spark.operators.dedup import _finish_eager
+
+        return _finish_eager(out, helpers)
+    return out
 
 
 def embedding_cosine_pairs_int(

@@ -80,7 +80,6 @@ def pair_recall(spark) -> None:
     from pyspark.sql import functions as F
 
     from dqmtools_spark.operators import similarity as S
-    from dqmtools_spark.session import get_spark  # noqa: F401
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
