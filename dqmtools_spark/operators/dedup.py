@@ -215,6 +215,27 @@ def minhash_signatures(
     )
 
 
+def _parallelize_input(df: DataFrame) -> DataFrame:
+    """Small-scan guard for explode-heavy operators: a tiny
+    single-row-group parquet (or any source with fewer splits than the
+    cluster has slots) would run the expensive per-doc map work
+    (tokenize / shingle / hash / explode) nearly single-threaded —
+    measured 4-5s single-core vs sub-second spread on the sf0.1
+    documents table.  Repartition up to defaultParallelism first: at
+    production scale inputs carry >= cluster-slots splits and this is
+    a NO-OP (no exchange inserted); on small inputs the shuffle it
+    inserts moves only the raw pre-explode rows.  Streaming frames
+    pass through untouched (their micro-batch partitioning is the
+    source's concern)."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _finish_eager(out: DataFrame, helpers: list[DataFrame]) -> DataFrame:
     """Cache-hygiene epilogue for the LSH pair functions: materialize
     the (small) pair result into its own cache, then unpersist every
@@ -350,6 +371,7 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
+    df = _parallelize_input(df)
     base = df.select(
         F.col(id_col).alias("_id"),
         word_shingle_hashes(F.col(text_col), n).alias("_sh"),
@@ -412,6 +434,7 @@ def minhash_lsh_pairs_md5(
     from dqmtools_spark.functions.hashing import P31, universal_hash_consts
 
     consts = universal_hash_consts(num_hashes)
+    df = _parallelize_input(df)
     sh = portable_shingle_hashes(F.col(text_col), n)
     base = df.select(F.col(id_col).alias("_id"), sh.alias("_sh")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -578,6 +601,7 @@ def simhash_signatures(
     reproduce bit-for-bit.
     """
     hash_fn = token_hash or F.xxhash64
+    df = _parallelize_input(df)
     words = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: w != ""
     )  # split("") yields [""] — drop it so empty text means zero tokens
@@ -770,6 +794,7 @@ def duplicated_ngram_spans(
 
     from dqmtools_spark.functions.hashing import P31, md5_hash60
 
+    df = _parallelize_input(df)
     grams = df.select(
         F.col(id_col),
         F.explode(
@@ -871,6 +896,7 @@ def remove_duplicated_spans(
 
     from dqmtools_spark.functions.hashing import P31, md5_hash60
 
+    df = _parallelize_input(df)
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), words.alias("ws")
@@ -924,21 +950,28 @@ def remove_duplicated_spans(
         # single pathological doc, which AQE handles.
         from pyspark.sql import Window
 
+        # toks feeds two consumers in maximal-span mode (the island
+        # char-length computation and the kept anti-join); persist so
+        # the dup-doc semi-join + token explode runs once
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+        helpers.append(toks)
+        # ONE pass over the covered tokens: island id via the
+        # gaps-and-islands window, per-island rejoined char length via
+        # a second window over (id, grp), filter, done — no separate
+        # groupBy + semi-join re-derivation of the islands frame
         w_isl = Window.partitionBy(id_col).orderBy("p")
-        islands = covered.withColumn(
-            "grp", F.col("p") - F.row_number().over(w_isl)
-        )
-        span_ok = (
-            islands.join(toks, [id_col, "p"])
-            .groupBy(id_col, "grp")
-            .agg(
-                (F.sum(F.length("tok")) + F.count(F.lit(1)) - 1).alias("chars")
+        w_grp = Window.partitionBy(id_col, "grp")
+        removed = (
+            covered.join(toks, [id_col, "p"])
+            .withColumn("grp", F.col("p") - F.row_number().over(w_isl))
+            .withColumn(
+                "chars",
+                F.sum(F.length("tok")).over(w_grp)
+                + F.count(F.lit(1)).over(w_grp)
+                - 1,
             )
             .filter(F.col("chars") >= min_span_chars)
-            .select(id_col, "grp")
-        )
-        removed = islands.join(span_ok, [id_col, "grp"], "semi").select(
-            id_col, "p"
+            .select(id_col, "p")
         )
     else:
         removed = covered
@@ -1057,6 +1090,7 @@ def global_line_dedup_frames(
     stream_global_line_dedup`) EQUAL to the batch operator by
     construction, not by parallel maintenance of two copies.
     """
+    df = _parallelize_input(df)
     ex = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("_idx", "_line"),
